@@ -1,0 +1,373 @@
+"""Core B-cos transform ops — the hot math of the framework.
+
+The B-cos transform (arXiv 2205.10268, used for B-cosification in arXiv 2411.00715) is
+
+    out = |cos(x_patch, w_hat)|^(B-1) * (w_hat . x_patch)
+
+where ``w_hat`` are (optionally) unit-norm weights and ``cos = (w_hat.x)/||x||``.
+Behaviour mirrors the reference implementation's semantics
+(`/root/reference/bcos/modules/bcosconv2d.py:153-250`,
+`/root/reference/bcos/modules/bcoslinear.py:88-130`,
+`/root/reference/bcos/modules/bcosifyconv2d.py:50-102`) but is written TPU-first:
+
+- NHWC activations / HWIO conv weights (XLA TPU native layouts).
+- One traced program: ``explain`` (the reference's ``detach`` flag) is a static
+  argument that places ``jax.lax.stop_gradient`` on the dynamic-linear scaling,
+  so the explanation-mode model is *exactly linear* in the input and
+  ``W(x) = d out / d x`` is obtained with a single fused VJP.
+- Patch norms via ``lax.reduce_window`` (stride / padding / dilation / groups all
+  supported by one primitive) instead of the reference's two code paths
+  (``avg_pool2d(divisor_override=1)`` fast path + ones-kernel-conv slow path).
+
+All public functions are pure and jit-friendly; `b` may be a Python number
+(static fast paths for b==1/b==2) or a traced array (learnable-b variants).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = [
+    "normed_conv_weight",
+    "normed_linear_weight",
+    "patch_norms",
+    "patch_norms_reference",
+    "dynamic_scale",
+    "bcos_conv2d",
+    "bcos_conv2d_reference",
+    "bcos_linear",
+    "normed_conv2d",
+    "normed_linear",
+]
+
+# Stabilising constants — exact values matter for parity with the reference:
+# conv patch norms add 1e-6 *inside* the sqrt (bcosconv2d.py:220), linear adds
+# 1e-12 *after* the norm (bcoslinear.py:113), the |cos| power path adds 1e-6 to
+# |cos| (bcosconv2d.py:189).
+CONV_NORM_EPS = 1e-6
+LINEAR_NORM_EPS = 1e-12
+COS_EPS = 1e-6
+
+IntOrPair = Union[int, Tuple[int, int], Sequence[int]]
+
+
+def _pair(v: IntOrPair) -> Tuple[int, int]:
+    if isinstance(v, (tuple, list)):
+        assert len(v) == 2, f"expected pair, got {v}"
+        return (int(v[0]), int(v[1]))
+    return (int(v), int(v))
+
+
+def _pad_pairs(padding: IntOrPair) -> Tuple[Tuple[int, int], Tuple[int, int]]:
+    ph, pw = _pair(padding)
+    return ((ph, ph), (pw, pw))
+
+
+def normed_conv_weight(w: jax.Array, scale: Optional[jax.Array] = None) -> jax.Array:
+    """L2-normalise a HWIO conv weight per output channel (w / ||w||).
+
+    Mirrors `NormedConv2d.forward` (bcosconv2d.py:26-35). ``scale`` optionally
+    rescales the unit-norm weights with captured pretrained norms (set_scale,
+    bcosconv2d.py:37-38); shape broadcastable to (out,), e.g. (out,) or scalar.
+    """
+    norms = jnp.sqrt(jnp.sum(jnp.square(w), axis=(0, 1, 2), keepdims=True))
+    w = w / norms
+    if scale is not None:
+        w = w * jnp.reshape(scale, (1, 1, 1, -1))
+    return w
+
+
+def normed_linear_weight(w: jax.Array, scale: Optional[jax.Array] = None) -> jax.Array:
+    """L2-normalise an (in, out) linear weight per output feature.
+
+    Mirrors `NormedLinear.forward` (bcoslinear.py:25-27); note the reference
+    stores (out, in) — we store (in, out) for x @ w on the MXU.
+    """
+    norms = jnp.sqrt(jnp.sum(jnp.square(w), axis=0, keepdims=True))
+    w = w / norms
+    if scale is not None:
+        w = w * jnp.reshape(scale, (1, -1))
+    return w
+
+
+def _conv(x, w, stride, padding, dilation, groups):
+    # HIGHEST keeps fp32 convs exactly fp32 (XLA's default may strength-reduce);
+    # bf16 inputs ride the MXU with fp32 accumulation via preferred_element_type.
+    return lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=_pair(stride),
+        padding=_pad_pairs(padding),
+        rhs_dilation=_pair(dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32 if x.dtype == jnp.bfloat16 else None,
+        precision=lax.Precision.HIGHEST if x.dtype == jnp.float32 else None,
+    ).astype(x.dtype)
+
+
+def patch_norms(
+    x: jax.Array,
+    kernel_size: IntOrPair,
+    *,
+    stride: IntOrPair = 1,
+    padding: IntOrPair = 0,
+    dilation: IntOrPair = 1,
+    groups: int = 1,
+    out_channels: Optional[int] = None,
+    eps: float = CONV_NORM_EPS,
+) -> jax.Array:
+    """Per-patch L2 norms ``||x_patch||`` of an NHWC input.
+
+    Equivalent to `BcosConv2d.calc_patch_norms` (bcosconv2d.py:196-231) *and*
+    its dilation-capable `_calc_patch_norms_slow` (bcosconv2d.py:233-250) in a
+    single reduce_window formulation: sum x^2 over channels (per group), then a
+    windowed sum with the conv's stride/padding/dilation, +eps, sqrt.
+
+    Returns [N, Ho, Wo, C_broadcast] where C_broadcast is 1 for groups==1 or
+    ``out_channels`` (group norms repeated O//G times) for grouped convs.
+    """
+    squares = jnp.square(x.astype(jnp.float32))
+    n, h, w_, c = squares.shape
+    if groups == 1:
+        squares = jnp.sum(squares, axis=-1, keepdims=True)
+    else:
+        # channel-last: [N,H,W,C] -> [N,H,W,G,C//G] -> [N,H,W,G]
+        squares = jnp.sum(squares.reshape(n, h, w_, groups, c // groups), axis=-1)
+
+    kh, kw = _pair(kernel_size)
+    norms = lax.reduce_window(
+        squares,
+        init_value=jnp.float32(0),
+        computation=lax.add,
+        window_dimensions=(1, kh, kw, 1),
+        window_strides=(1, *_pair(stride), 1),
+        padding=((0, 0), *_pad_pairs(padding), (0, 0)),
+        window_dilation=(1, *_pair(dilation), 1),
+    )
+    norms = jnp.sqrt(norms + eps)
+
+    if groups > 1:
+        assert out_channels is not None, "out_channels required for grouped conv"
+        # [N,Ho,Wo,G] -> [N,Ho,Wo,O]: group g covers output channels
+        # [g*(O//G), (g+1)*(O//G)) — matches torch.repeat_interleave on dim=1.
+        norms = jnp.repeat(norms, out_channels // groups, axis=-1)
+    return norms
+
+
+def patch_norms_reference(
+    x: jax.Array,
+    weight_shape: Tuple[int, int, int, int],
+    *,
+    stride: IntOrPair = 1,
+    padding: IntOrPair = 0,
+    dilation: IntOrPair = 1,
+    groups: int = 1,
+    eps: float = CONV_NORM_EPS,
+) -> jax.Array:
+    """Oracle: patch norms via an explicit ones-kernel convolution.
+
+    The "definitely correct" slow path of the reference
+    (`_calc_patch_norms_slow`, bcosconv2d.py:233-250), kept for testing.
+    ``weight_shape`` is the HWIO shape of the conv weight.
+    """
+    ones = jnp.ones(weight_shape, x.dtype)
+    s = _conv(jnp.square(x), ones, stride, padding, dilation, groups)
+    return jnp.sqrt(s + eps)
+
+
+def _maybe_stop(v: jax.Array, explain: bool) -> jax.Array:
+    return lax.stop_gradient(v) if explain else v
+
+
+def dynamic_scale(
+    out: jax.Array,
+    norm: jax.Array,
+    b: Union[float, jax.Array],
+    *,
+    explain: bool = False,
+) -> jax.Array:
+    """The |cos|^(B-1) dynamic-linear scaling factor.
+
+    Mirrors bcosconv2d.py:179-193: in explanation mode both the raw linear
+    output and the patch norm are detached so the composed layer is linear in x.
+    ``b`` static 2 takes the fast path |out|/norm; otherwise the stabilised
+    (|out/norm| + 1e-6)^(b-1) power path (also used for traced/learnable b).
+    """
+    mdo = _maybe_stop(out, explain)
+    norm = _maybe_stop(norm, explain)
+    if isinstance(b, (int, float)) and b == 2:
+        return jnp.abs(mdo) / norm
+    abs_cos = jnp.abs(mdo / norm) + COS_EPS
+    return jnp.power(abs_cos, jnp.asarray(b) - 1)
+
+
+def bcos_conv2d(
+    x: jax.Array,
+    w: jax.Array,
+    *,
+    b: Union[float, jax.Array] = 2.0,
+    stride: IntOrPair = 1,
+    padding: IntOrPair = 0,
+    dilation: IntOrPair = 1,
+    groups: int = 1,
+    max_out: int = 1,
+    normalize_weights: bool = True,
+    scale: Optional[jax.Array] = None,
+    bias: Optional[jax.Array] = None,
+    explain: bool = False,
+) -> jax.Array:
+    """B-cos 2D convolution, NHWC/HWIO.
+
+    ``normalize_weights=True`` is `BcosConv2d` (unit-norm weights,
+    bcosconv2d.py:153-194); ``False`` is the conversion-time `BcosifyConv2d`
+    (plain pretrained weights keep their norms, bcosifyconv2d.py:50-102), which
+    may also carry a ``bias`` (applied to the raw linear output before the
+    dynamic scaling, like nn.Conv2d's bias inside self.linear).
+
+    ``b`` may be traced (learnable-b / clamping / b_loss variants — the caller
+    maps those to an effective b, see modules.BcosifyConv2d).
+    """
+    if max_out < 1:
+        raise ValueError(f"max_out must be >= 1, got {max_out}")
+    out_channels = w.shape[-1] // max_out
+
+    wn = normed_conv_weight(w, scale) if normalize_weights else w
+    out = _conv(x, wn, stride, padding, dilation, groups)
+    if bias is not None:
+        out = out + jnp.reshape(bias, (1, 1, 1, -1))
+
+    if max_out > 1:
+        out = jnp.max(
+            out.reshape(*out.shape[:-1], out_channels, max_out), axis=-1
+        )
+
+    if isinstance(b, (int, float)) and b == 1:
+        return out
+
+    norm = patch_norms(
+        x,
+        w.shape[:2],
+        stride=stride,
+        padding=padding,
+        dilation=dilation,
+        groups=groups,
+        out_channels=out_channels,
+    ).astype(out.dtype)
+
+    return dynamic_scale(out, norm, b, explain=explain) * out
+
+
+def bcos_conv2d_reference(
+    x: jax.Array,
+    w: jax.Array,
+    *,
+    b: Union[float, jax.Array] = 2.0,
+    stride: IntOrPair = 1,
+    padding: IntOrPair = 0,
+    dilation: IntOrPair = 1,
+    groups: int = 1,
+    max_out: int = 1,
+    normalize_weights: bool = True,
+    scale: Optional[jax.Array] = None,
+    bias: Optional[jax.Array] = None,
+    explain: bool = False,
+) -> jax.Array:
+    """Naive two-pass oracle using the ones-kernel patch norm. Test-only."""
+    out_channels = w.shape[-1] // max_out
+    wn = normed_conv_weight(w, scale) if normalize_weights else w
+    out = _conv(x, wn, stride, padding, dilation, groups)
+    if bias is not None:
+        out = out + jnp.reshape(bias, (1, 1, 1, -1))
+    if max_out > 1:
+        out = jnp.max(out.reshape(*out.shape[:-1], out_channels, max_out), axis=-1)
+    if isinstance(b, (int, float)) and b == 1:
+        return out
+    # ones-kernel norm has shape [..., out*max_out]; per-group norms are equal
+    # across the group's channels so slicing the first of each maxout block is
+    # equivalent to the fast path's repeat.
+    norm_shape = (w.shape[0], w.shape[1], w.shape[2], w.shape[3])
+    norm = patch_norms_reference(
+        x, norm_shape, stride=stride, padding=padding, dilation=dilation, groups=groups
+    )
+    if max_out > 1:
+        norm = norm[..., ::max_out]
+    norm = norm.astype(out.dtype)
+    return dynamic_scale(out, norm, b, explain=explain) * out
+
+
+def bcos_linear(
+    x: jax.Array,
+    w: jax.Array,
+    *,
+    b: Union[float, jax.Array] = 2.0,
+    max_out: int = 1,
+    normalize_weights: bool = True,
+    scale: Optional[jax.Array] = None,
+    bias: Optional[jax.Array] = None,
+    explain: bool = False,
+) -> jax.Array:
+    """B-cos linear transform over the last axis. w: (in, out*max_out).
+
+    Mirrors `BcosLinear.forward` (bcoslinear.py:88-130) /
+    `BcosifyLinear.forward` (bcosifylinear.py:42-95, normalize_weights=False).
+    """
+    out_features = w.shape[-1] // max_out
+    wn = normed_linear_weight(w, scale) if normalize_weights else w
+    out = jnp.dot(
+        x,
+        wn,
+        preferred_element_type=jnp.float32 if x.dtype == jnp.bfloat16 else None,
+        precision=jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None,
+    ).astype(x.dtype)
+    if bias is not None:
+        out = out + bias
+    if max_out > 1:
+        out = jnp.max(out.reshape(*out.shape[:-1], out_features, max_out), axis=-1)
+    if isinstance(b, (int, float)) and b == 1:
+        return out
+    norm = (
+        jnp.sqrt(jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True))
+        + LINEAR_NORM_EPS
+    ).astype(out.dtype)
+    return dynamic_scale(out, norm, b, explain=explain) * out
+
+
+def normed_conv2d(
+    x: jax.Array,
+    w: jax.Array,
+    *,
+    stride: IntOrPair = 1,
+    padding: IntOrPair = 0,
+    dilation: IntOrPair = 1,
+    groups: int = 1,
+    scale: Optional[jax.Array] = None,
+    bias: Optional[jax.Array] = None,
+    use_weight_norm: bool = True,
+) -> jax.Array:
+    """Plain conv with unit-norm weights (`NormedConv2d`, bcosconv2d.py:17-41)."""
+    wn = normed_conv_weight(w, scale) if use_weight_norm else w
+    out = _conv(x, wn, stride, padding, dilation, groups)
+    if bias is not None:
+        out = out + jnp.reshape(bias, (1, 1, 1, -1))
+    return out
+
+
+def normed_linear(
+    x: jax.Array,
+    w: jax.Array,
+    *,
+    bias: Optional[jax.Array] = None,
+    scale: Optional[jax.Array] = None,
+    use_weight_norm: bool = True,
+) -> jax.Array:
+    """Plain linear with unit-norm weights (`NormedLinear`, bcoslinear.py:20-27)."""
+    wn = normed_linear_weight(w, scale) if use_weight_norm else w
+    out = x @ wn
+    if bias is not None:
+        out = out + bias
+    return out
