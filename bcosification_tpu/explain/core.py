@@ -1,0 +1,234 @@
+"""Explanation core — dynamic-linear weights W(x) and colour explanations.
+
+Parity target: `/root/reference/bcos/common.py`.
+
+The reference's `explanation_mode()` context manager mutates module state and
+replays autograd; here the explanation-variant forward (explain=True threads
+stop_gradients through every dynamic-linear op) is a *compile-time* variant and
+W(x) = dx f(x) comes from one fused `jax.vjp` evaluated alongside the forward —
+a single jitted program instead of forward + separate backward replay.
+
+Completeness: for bias-free B-cos nets, (x * W(x)).sum() == selected logit.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = [
+    "dynamic_linear_weights",
+    "explain",
+    "make_explain_fn",
+    "gradient_to_image",
+    "contribution_map",
+    "attribute",
+    "attribute_selection",
+    "plot_contribution_map",
+]
+
+
+def dynamic_linear_weights(
+    apply_fn: Callable[[jax.Array], jax.Array],
+    x: jax.Array,
+    idx: Optional[jax.Array] = None,
+):
+    """Return (logits, selected_idx, W) where W = d logit[selected] / d x and
+    apply_fn is the explanation-variant forward (common.py:163-180).
+
+    ``idx`` None explains the prediction (argmax); otherwise the given class.
+    One fused forward+VJP.
+    """
+    out, vjp_fn = jax.vjp(apply_fn, x)
+    assert out.ndim == 2, f"expected (batch, classes) logits, got {out.shape}"
+    sel = jnp.argmax(out, axis=1) if idx is None else jnp.broadcast_to(idx, (out.shape[0],))
+    cotangent = jax.nn.one_hot(sel, out.shape[-1], dtype=out.dtype)
+    (w,) = vjp_fn(cotangent)
+    return out, sel, w
+
+
+def contribution_map(x: jax.Array, w: jax.Array) -> jax.Array:
+    """(x * W(x)).sum(channel) — per-location contributions
+    (common.py:181)."""
+    return (x * w).sum(-1)
+
+
+def gradient_to_image(
+    image: jax.Array,
+    linear_mapping: jax.Array,
+    smooth: int = 15,
+    alpha_percentile: float = 99.5,
+) -> jax.Array:
+    """Colour-coding of W(x) (common.py:387-436), channel-last.
+
+    image / linear_mapping: [H, W, 6] (AddInverse encoding). Returns RGBA
+    [H, W, 4] in [0, 1]. Pure jnp (jit-able; call np.asarray on the result for
+    plotting).
+    """
+    assert image.ndim == 3 and image.shape[-1] == 6, image.shape
+    contribs = (image * linear_mapping).sum(-1, keepdims=True)  # [H,W,1]
+    # normalise each pixel's 6-vector so the max |entry| is 1
+    rgb_grad = linear_mapping / (
+        jnp.max(jnp.abs(linear_mapping), axis=-1, keepdims=True) + 1e-12
+    )
+    rgb_grad = jnp.clip(rgb_grad, 0, None)
+    # fold (r, 1-r) pairs: rgb = pos / (pos + inv)
+    rgb = rgb_grad[..., :3] / (rgb_grad[..., :3] + rgb_grad[..., 3:] + 1e-12)
+
+    # alpha = smoothed L2 norm of W at each location, masked to positive contribs
+    alpha = jnp.linalg.norm(linear_mapping, axis=-1, keepdims=True)
+    alpha = jnp.where(contribs < 0, 1e-12, alpha)
+    if smooth:
+        pad = (smooth - 1) // 2
+        summed = lax.reduce_window(
+            alpha,
+            0.0,
+            lax.add,
+            window_dimensions=(smooth, smooth, 1),
+            window_strides=(1, 1, 1),
+            padding=((pad, pad), (pad, pad), (0, 0)),
+        )
+        # torch avg_pool2d divides by the full kernel area incl. padding
+        alpha = summed / (smooth * smooth)
+    alpha = jnp.clip(alpha / jnp.quantile(alpha, alpha_percentile / 100.0), 0, 1)
+    return jnp.concatenate([rgb, alpha], axis=-1)  # [H,W,4]
+
+
+def _jitted_explain(apply_fn, smooth: int, alpha_percentile: float, with_image: bool):
+    @jax.jit
+    def run(variables, x, idx):
+        f = lambda xx: apply_fn(variables, xx)
+        out, sel, w = dynamic_linear_weights(f, x, idx)
+        result = {
+            "prediction": jnp.argmax(out, axis=1),
+            "explained_class_idx": sel,
+            "dynamic_linear_weights": w,
+            "contribution_map": contribution_map(x, w),
+            "logits": out,
+        }
+        if with_image:
+            result["explanation"] = jax.vmap(
+                lambda im, lm: gradient_to_image(im, lm, smooth, alpha_percentile)
+            )(x, w)
+        return result
+
+    return run
+
+
+_EXPLAIN_CACHE: Dict[Any, Callable] = {}
+
+
+def make_explain_fn(
+    model,
+    smooth: int = 15,
+    alpha_percentile: float = 99.5,
+    with_image: bool = True,
+):
+    """Build a jitted explain(variables, x, idx=None) for a linen model whose
+    __call__ accepts (x, train=, explain=). Mirrors `BcosUtilMixin.explain`
+    (common.py:92-188). Compiled variants are cached per model."""
+    key = (id(model), smooth, alpha_percentile, with_image)
+    if key not in _EXPLAIN_CACHE:
+
+        def apply_fn(variables, xx):
+            return model.apply(variables, xx, train=False, explain=True)
+
+        _EXPLAIN_CACHE[key] = _jitted_explain(
+            apply_fn, smooth, alpha_percentile, with_image
+        )
+    jitted = _EXPLAIN_CACHE[key]
+
+    def explain_fn(variables, x, idx: Optional[int] = None):
+        idx_arr = None if idx is None else jnp.asarray(idx)
+        return jitted(variables, x, idx_arr)
+
+    return explain_fn
+
+
+def explain(
+    model,
+    variables,
+    x: jax.Array,
+    idx: Optional[int] = None,
+    smooth: int = 15,
+    alpha_percentile: float = 99.5,
+) -> Dict[str, Any]:
+    """One-shot convenience explain (common.py:92-188). x: [1, H, W, C]."""
+    if x.ndim != 4:
+        raise ValueError("Expected 4-dimensional NHWC input tensor")
+    fn = make_explain_fn(model, smooth, alpha_percentile)
+    out = fn(variables, x, idx)
+    return {
+        "prediction": int(out["prediction"][0]),
+        "explained_class_idx": int(out["explained_class_idx"][0]),
+        "dynamic_linear_weights": out["dynamic_linear_weights"],
+        "contribution_map": out["contribution_map"],
+        "explanation": out["explanation"][0],
+        "logits": out["logits"],
+    }
+
+
+def attribute(
+    apply_fn: Callable[[jax.Array], jax.Array],
+    x: jax.Array,
+    target: Union[int, jax.Array],
+) -> jax.Array:
+    """Input x Gradient with detached dynamic weights — `BcosUtilMixin.attribute`
+    (common.py:280-317). apply_fn must be the explanation-variant forward.
+    Returns x * dlogit[target]/dx, same shape as x."""
+    _, _, w = dynamic_linear_weights(apply_fn, x, jnp.asarray(target))
+    return x * w
+
+
+def attribute_selection(
+    apply_fn: Callable[[jax.Array], jax.Array],
+    x: jax.Array,
+    targets: Sequence[int],
+) -> jax.Array:
+    """Batched `.attribute` over multiple targets (common.py:319-344): one
+    vmapped VJP instead of the reference's python loop. Returns
+    [T, *x.shape[1:]] for x of batch 1 (concatenate semantics)."""
+    targets = jnp.asarray(targets)
+
+    def one(t):
+        return attribute(apply_fn, x, t)[0]
+
+    return jax.vmap(one)(targets)
+
+
+def plot_contribution_map(
+    contribution_map,
+    ax=None,
+    vrange=None,
+    vmin=None,
+    vmax=None,
+    hide_ticks: bool = True,
+    cmap: str = "bwr",
+    percentile: float = 99.5,
+):
+    """Matplotlib visualisation (common.py:439-516). Optional dependency."""
+    import numpy as np
+
+    cm = np.asarray(contribution_map)
+    assert cm.ndim == 2, "Contribution map must have 2 spatial dimensions."
+    cutoff = np.percentile(np.abs(cm), percentile)
+    cm = np.clip(cm, -cutoff, cutoff)
+    if ax is None:
+        import matplotlib.pyplot as plt
+
+        _, ax = plt.subplots(1)
+    if vrange is None or vrange == "auto":
+        vrange = np.max(np.abs(cm.flatten()))
+    im = ax.imshow(
+        cm,
+        cmap=cmap,
+        vmin=-vrange if vmin is None else vmin,
+        vmax=vrange if vmax is None else vmax,
+    )
+    if hide_ticks:
+        ax.set_xticks([])
+        ax.set_yticks([])
+    return ax, im

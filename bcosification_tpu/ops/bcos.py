@@ -142,7 +142,7 @@ def patch_norms(
     kh, kw = _pair(kernel_size)
     norms = lax.reduce_window(
         squares,
-        init_value=jnp.float32(0),
+        init_value=0.0,  # python scalar: jnp constants break linearize-under-jit
         computation=lax.add,
         window_dimensions=(1, kh, kw, 1),
         window_strides=(1, *_pair(stride), 1),
