@@ -1,0 +1,269 @@
+"""B-cos ResNet / ResNeXt family (NHWC, flax.linen).
+
+One architecture covers both reference variants:
+- the from-scratch B-cos ResNet (`/root/reference/bcos/models/resnet.py`):
+  conv_layer=BcosConv2d, norm=NoBias(DetachablePositionNorm2d), act=Identity,
+  classifier-as-1x1-conv applied BEFORE global average pooling (GAP-reorder,
+  resnet.py:442-450), built-in LogitLayer;
+- the bcosified-torchvision `ResNetBcos`
+  (`/root/reference/bcos/models/standard_models.py:36-54` +
+  `/root/reference/bcosify.py`): conv_layer=BcosifyConv2d (raw weights),
+  norm=BatchNormUncentered2d, act=ReLU, stem maxpool replaced by AvgPool2d
+  (`experiment_parameters.py:99`), fc -> 1x1 conv before avgpool; the
+  6-channel Normalize + LogitLayer live in the `BcosifyNetwork` wrapper
+  (models/bcosify_net.py).
+
+Sub-module names mirror the torch state_dict keys (conv1, bn1, layer{i} block
+{j}, downsample.{0,1}, fc) so checkpoint import is a mechanical key map (see
+bcosify/torch_import.py).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from bcosification_tpu.modules import (
+    BcosConv2d,
+    Identity,
+    LogitLayer,
+    StochasticDepth,
+    norms,
+)
+from bcosification_tpu.ops import pooling
+
+__all__ = [
+    "BasicBlock",
+    "Bottleneck",
+    "BcosResNet",
+    "resnet18",
+    "resnet34",
+    "resnet50",
+    "resnet101",
+    "resnet152",
+    "resnext50_32x4d",
+    "wide_resnet50_2",
+]
+
+DEFAULT_NORM_LAYER = norms.NoBias(norms.DetachablePositionNorm2d)
+DEFAULT_CONV_LAYER = BcosConv2d
+DEFAULT_ACT_LAYER = Identity
+
+
+class BasicBlock(nn.Module):
+    """resnet.py:68-134."""
+
+    planes: int
+    stride: int = 1
+    has_downsample: bool = False
+    expansion: int = 1
+    groups: int = 1
+    base_width: int = 64
+    dilation: int = 1
+    norm_layer: Callable = DEFAULT_NORM_LAYER
+    conv_layer: Callable = DEFAULT_CONV_LAYER
+    act_layer: Callable = DEFAULT_ACT_LAYER
+    stochastic_depth_prob: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False, explain: bool = False):
+        f = dict(train=train, explain=explain)
+        identity = x
+        out = self.conv_layer(
+            self.planes, kernel_size=3, stride=self.stride, padding=self.dilation,
+            dilation=self.dilation, groups=self.groups, name="conv1",
+        )(x, **f)
+        out = self.norm_layer(self.planes, name="bn1")(out, **f)
+        out = self.act_layer(name="act1")(out, **f)
+        out = self.conv_layer(self.planes, kernel_size=3, padding=1, name="conv2")(out, **f)
+        out = self.norm_layer(self.planes, name="bn2")(out, **f)
+        if self.stochastic_depth_prob:
+            out = StochasticDepth(self.stochastic_depth_prob, "row", name="sd")(out, **f)
+        if self.has_downsample:
+            identity = self.conv_layer(
+                self.planes * self.expansion, kernel_size=1, stride=self.stride,
+                name="downsample_conv",
+            )(x, **f)
+            identity = self.norm_layer(
+                self.planes * self.expansion, name="downsample_norm"
+            )(identity, **f)
+        out = out + identity
+        return self.act_layer(name="act_out")(out, **f)
+
+
+class Bottleneck(nn.Module):
+    """resnet.py:137-216 (ResNet V1.5: stride on the 3x3)."""
+
+    planes: int
+    stride: int = 1
+    has_downsample: bool = False
+    expansion: int = 4
+    groups: int = 1
+    base_width: int = 64
+    dilation: int = 1
+    norm_layer: Callable = DEFAULT_NORM_LAYER
+    conv_layer: Callable = DEFAULT_CONV_LAYER
+    act_layer: Callable = DEFAULT_ACT_LAYER
+    stochastic_depth_prob: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False, explain: bool = False):
+        f = dict(train=train, explain=explain)
+        width = int(self.planes * (self.base_width / 64.0)) * self.groups
+        identity = x
+        out = self.conv_layer(width, kernel_size=1, name="conv1")(x, **f)
+        out = self.norm_layer(width, name="bn1")(out, **f)
+        out = self.act_layer(name="act1")(out, **f)
+        out = self.conv_layer(
+            width, kernel_size=3, stride=self.stride, padding=self.dilation,
+            dilation=self.dilation, groups=self.groups, name="conv2",
+        )(out, **f)
+        out = self.norm_layer(width, name="bn2")(out, **f)
+        out = self.act_layer(name="act2")(out, **f)
+        out = self.conv_layer(self.planes * self.expansion, kernel_size=1, name="conv3")(
+            out, **f
+        )
+        out = self.norm_layer(self.planes * self.expansion, name="bn3")(out, **f)
+        if self.stochastic_depth_prob:
+            out = StochasticDepth(self.stochastic_depth_prob, "row", name="sd")(out, **f)
+        if self.has_downsample:
+            identity = self.conv_layer(
+                self.planes * self.expansion, kernel_size=1, stride=self.stride,
+                name="downsample_conv",
+            )(x, **f)
+            identity = self.norm_layer(
+                self.planes * self.expansion, name="downsample_norm"
+            )(identity, **f)
+        out = out + identity
+        return self.act_layer(name="act_out")(out, **f)
+
+
+_BLOCKS = {"basic": (BasicBlock, 1), "bottleneck": (Bottleneck, 4)}
+
+
+class BcosResNet(nn.Module):
+    """resnet.py:219-472 re-expressed functionally.
+
+    ``stem_pool``: None (small inputs) | 'avg' (B-cos default / bcosified
+    standard change) | 'max' (plain torchvision).
+    ``gap_reorder``: classifier (1x1 conv) before GAP (True for all B-cos
+    variants; False gives the plain torchvision eval forward).
+    ``logit_bias`` None uses -log(num_classes - 1); set ``with_logit_layer``
+    False for the bcosified variant (LogitLayer lives in BcosifyNetwork).
+    """
+
+    block: str = "basic"
+    layers: Sequence[int] = (2, 2, 2, 2)
+    num_classes: int = 1000
+    groups: int = 1
+    width_per_group: int = 64
+    norm_layer: Callable = DEFAULT_NORM_LAYER
+    conv_layer: Callable = DEFAULT_CONV_LAYER
+    act_layer: Callable = DEFAULT_ACT_LAYER
+    inplanes: int = 64
+    small_inputs: bool = False
+    stem_pool: Optional[str] = "avg"
+    stochastic_depth_prob: float = 0.0
+    gap_reorder: bool = True
+    fc_layer: Optional[Callable] = None  # defaults to conv_layer
+    with_logit_layer: bool = True
+    logit_bias: Optional[float] = None
+    logit_temperature: Optional[float] = None
+
+    def _block_cfgs(self):
+        """Per-block (stage, planes, stride, has_downsample, sd_prob)."""
+        block_cls, expansion = _BLOCKS[self.block]
+        total = sum(self.layers)
+        cfgs = []
+        inplanes = self.inplanes
+        idx = 0
+        for stage, num_blocks in enumerate(self.layers):
+            planes = self.inplanes * (2**stage)
+            for j in range(num_blocks):
+                stride = 2 if (stage > 0 and j == 0) else 1
+                has_ds = stride != 1 or inplanes != planes * expansion
+                sd = (
+                    self.stochastic_depth_prob * idx / max(total - 1, 1)
+                    if self.stochastic_depth_prob
+                    else 0.0
+                )
+                cfgs.append((stage, j, planes, stride, has_ds, sd))
+                inplanes = planes * expansion
+                idx += 1
+        return block_cls, expansion, cfgs, inplanes
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False, explain: bool = False):
+        f = dict(train=train, explain=explain)
+        block_cls, expansion, cfgs, num_features = self._block_cfgs()
+
+        if self.small_inputs:
+            x = self.conv_layer(self.inplanes, kernel_size=3, padding=1, name="conv1")(
+                x, **f
+            )
+        else:
+            x = self.conv_layer(
+                self.inplanes, kernel_size=7, stride=2, padding=3, name="conv1"
+            )(x, **f)
+        x = self.norm_layer(self.inplanes, name="bn1")(x, **f)
+        x = self.act_layer(name="act")(x, **f)
+        if not self.small_inputs and self.stem_pool is not None:
+            if self.stem_pool == "avg":
+                x = pooling.avg_pool2d(x, 3, 2, 1)
+            elif self.stem_pool == "max":
+                x = pooling.max_pool2d(x, 3, 2, 1)
+            else:
+                raise ValueError(self.stem_pool)
+
+        for stage, j, planes, stride, has_ds, sd in cfgs:
+            x = block_cls(
+                planes=planes,
+                stride=stride,
+                has_downsample=has_ds,
+                groups=self.groups,
+                base_width=self.width_per_group,
+                norm_layer=self.norm_layer,
+                conv_layer=self.conv_layer,
+                act_layer=self.act_layer,
+                stochastic_depth_prob=sd,
+                name=f"layer{stage + 1}_{j}",
+            )(x, **f)
+
+        fc_layer = self.fc_layer or self.conv_layer
+        if self.gap_reorder:
+            x = fc_layer(self.num_classes, kernel_size=1, name="fc")(x, **f)
+            x = pooling.global_avg_pool(x)
+        else:
+            x = pooling.global_avg_pool(x)
+            x = fc_layer(self.num_classes, kernel_size=1, name="fc")(
+                x[:, None, None, :], **f
+            )[:, 0, 0, :]
+
+        if self.with_logit_layer:
+            bias = (
+                -math.log(self.num_classes - 1)
+                if self.logit_bias is None
+                else self.logit_bias
+            )
+            x = LogitLayer(self.logit_temperature, bias, name="logit_layer")(x, **f)
+        return x
+
+
+def _entry(block, layers, **defaults):
+    def factory(**kwargs):
+        return BcosResNet(block=block, layers=layers, **{**defaults, **kwargs})
+
+    return factory
+
+
+resnet18 = _entry("basic", (2, 2, 2, 2))
+resnet34 = _entry("basic", (3, 4, 6, 3))
+resnet50 = _entry("bottleneck", (3, 4, 6, 3))
+resnet101 = _entry("bottleneck", (3, 4, 23, 3))
+resnet152 = _entry("bottleneck", (3, 8, 36, 3))
+resnext50_32x4d = _entry("bottleneck", (3, 4, 6, 3), groups=32, width_per_group=4)
+wide_resnet50_2 = _entry("bottleneck", (3, 4, 6, 3), width_per_group=128)

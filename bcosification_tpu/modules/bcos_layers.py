@@ -64,6 +64,7 @@ class _ConvBase(nn.Module):
     max_out: int = 1
     use_bias: bool = False
     param_dtype: Any = jnp.float32
+    kernel_init: Optional[Callable] = None  # default: torch fan-in uniform
 
     def _kernel_shape(self, x) -> Tuple[int, int, int, int]:
         kh, kw = ops._pair(self.kernel_size)
@@ -74,7 +75,8 @@ class _ConvBase(nn.Module):
     def _weight(self, x):
         shape = self._kernel_shape(x)
         fan_in = shape[0] * shape[1] * shape[2]
-        return self.param("weight", _fan_in_uniform(fan_in), shape, self.param_dtype)
+        init = self.kernel_init or _fan_in_uniform(fan_in)
+        return self.param("weight", init, shape, self.param_dtype)
 
     def _bias(self, x):
         if not self.use_bias:
