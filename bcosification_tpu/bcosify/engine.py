@@ -27,7 +27,7 @@ from bcosification_tpu.models import resnet as resnet_lib
 from bcosification_tpu.models.bcosify_net import BcosifyNetwork, normalization_for
 from bcosification_tpu.modules import BcosifyConv2d, Identity, ReLU, norms
 
-__all__ = ["build_bcosified_resnet", "RESNET_LAYERS"]
+__all__ = ["build_bcosified_resnet", "build_bcosified_densenet", "RESNET_LAYERS"]
 
 RESNET_LAYERS = {
     "resnet18": ("basic", (2, 2, 2, 2)),
@@ -128,13 +128,74 @@ def build_bcosified_resnet(
     abstract = jax.eval_shape(lambda: net.init(jax.random.PRNGKey(0), x0))
 
     if state_dict is None:
-        variables = net.init(jax.random.PRNGKey(model_config.get("seed", 0)), x0)
+        # jit: one compiled program instead of hundreds of eager dispatches
+        variables = jax.jit(net.init)(
+            jax.random.PRNGKey(model_config.get("seed", 0) or 0), x0
+        )
     else:
         # fc.weight in torchvision is a Linear even though ours is a 1x1 conv
         variables = torch_import.resnet_torch_to_variables(
             abstract,
             state_dict,
             layers,
+            add_channels=True,
+            fold_bn_bias=(norm_name == "BnUncV2"),
+            use_bias=use_bias,
+        )
+    return net, variables
+
+
+def build_bcosified_densenet(
+    model_config: Dict[str, Any],
+    state_dict: Optional[Mapping[str, Any]] = None,
+    *,
+    input_size: int = 224,
+    num_classes: int = 1000,
+) -> Tuple[BcosifyNetwork, Any]:
+    """DenseNet analogue of build_bcosified_resnet
+    (`ImageNet/bcosification/model.py:30-36` + `standard_models.py:56-63`)."""
+    from bcosification_tpu.bcosify.torch_import import densenet_torch_to_variables
+    from bcosification_tpu.models.densenet import DENSENET_CONFIGS, BcosDenseNet
+
+    arch = model_config["name"]
+    arch_cfg = DENSENET_CONFIGS[arch]
+    conv_layer, norm_layer, act_layer, use_bias, norm_name = _bcosify_factories(
+        model_config
+    )
+    fc_layer = partial(conv_layer, use_bias=use_bias)
+
+    bargs = model_config.get("bcosify_args", {}) or {}
+    mean, std = normalization_for(
+        clip_kd=bool(bargs.get("clip_kd", False)),
+        linearprobe_clip=bool(bargs.get("linearprobe_clip", False)),
+        bfy_mean_zero=bool(model_config.get("bfy_mean_zero", False)),
+    )
+    backbone = BcosDenseNet(
+        num_classes=num_classes,
+        conv_layer=conv_layer,
+        norm_layer=norm_layer,
+        act_layer=act_layer,
+        fc_layer=fc_layer,
+        stem_pool="avg",  # standard_changes: features[3] -> AvgPool2d(3,2,1)
+        gap_reorder=bool(bargs.get("gap", True)),
+        name="model",
+        **arch_cfg,
+    )
+    net = BcosifyNetwork(
+        model=backbone, num_classes=num_classes, with_logit_layer=True,
+        mean=mean, std=std,
+    )
+    x0 = jnp.zeros((1, input_size, input_size, 6), jnp.float32)
+    abstract = jax.eval_shape(lambda: net.init(jax.random.PRNGKey(0), x0))
+    if state_dict is None:
+        variables = jax.jit(net.init)(
+            jax.random.PRNGKey(model_config.get("seed", 0) or 0), x0
+        )
+    else:
+        variables = densenet_torch_to_variables(
+            abstract,
+            state_dict,
+            arch_cfg["block_config"],
             add_channels=True,
             fold_bn_bias=(norm_name == "BnUncV2"),
             use_bias=use_bias,

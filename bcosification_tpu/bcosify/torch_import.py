@@ -22,6 +22,8 @@ from bcosification_tpu.bcosify import params as P
 __all__ = [
     "fill_variables",
     "resnet_torch_to_variables",
+    "densenet_torch_to_variables",
+    "simple_vit_torch_to_variables",
     "FlatParams",
 ]
 
@@ -156,5 +158,118 @@ def resnet_torch_to_variables(
     )
     if use_bias and "fc.bias" in tsd:
         flat[("params",) + S + ("fc", "bias")] = _np(tsd["fc.bias"])
+
+    return fill_variables(abstract_variables, flat)
+
+
+def densenet_torch_to_variables(
+    abstract_variables,
+    tsd: Mapping[str, Any],
+    block_config: Tuple[int, ...],
+    *,
+    add_channels: bool = True,
+    fold_bn_bias: bool = True,
+    use_bias: bool = False,
+    backbone_scope: Tuple[str, ...] = ("model",),
+    bn_eps: float = 1e-5,
+):
+    """Import a torchvision DenseNet state_dict into a bcosified BcosDenseNet.
+
+    torchvision key scheme: features.conv0 / norm0 / denseblockI.denselayerJ.
+    {norm1,conv1,norm2,conv2} / transitionI.{norm,conv} / norm5 / classifier.
+    """
+    flat: FlatParams = {}
+    S = backbone_scope
+
+    conv0 = P.torch_conv_weight(tsd["features.conv0.weight"])
+    if add_channels:
+        conv0 = P.add_channels_conv_weight(conv0)
+    flat[("params",) + S + ("conv0", "weight")] = conv0
+    _bn_entries(flat, tsd, "features.norm0", S + ("norm0",), fold_bn_bias, use_bias, bn_eps)
+
+    for i, num_layers in enumerate(block_config):
+        for j in range(num_layers):
+            tp = f"features.denseblock{i + 1}.denselayer{j + 1}"
+            jp = S + (f"denseblock{i + 1}_denselayer{j + 1}",)
+            for k in (1, 2):
+                _bn_entries(
+                    flat, tsd, f"{tp}.norm{k}", jp + (f"norm{k}",), fold_bn_bias,
+                    use_bias, bn_eps,
+                )
+                flat[("params",) + jp + (f"conv{k}", "weight")] = P.torch_conv_weight(
+                    tsd[f"{tp}.conv{k}.weight"]
+                )
+        if i != len(block_config) - 1:
+            tp = f"features.transition{i + 1}"
+            jp = S + (f"transition{i + 1}",)
+            _bn_entries(flat, tsd, f"{tp}.norm", jp + ("norm",), fold_bn_bias, use_bias, bn_eps)
+            flat[("params",) + jp + ("conv", "weight")] = P.torch_conv_weight(
+                tsd[f"{tp}.conv.weight"]
+            )
+
+    _bn_entries(flat, tsd, "features.norm5", S + ("norm5",), fold_bn_bias, use_bias, bn_eps)
+    flat[("params",) + S + ("classifier", "weight")] = P.linear_to_conv1x1_weight(
+        P.torch_linear_weight(tsd["classifier.weight"])
+    )
+    if use_bias and "classifier.bias" in tsd:
+        flat[("params",) + S + ("classifier", "bias")] = _np(tsd["classifier.bias"])
+
+    return fill_variables(abstract_variables, flat)
+
+
+def _ln_entries(flat, tsd, torch_prefix, jax_name, use_bias):
+    flat[("params",) + jax_name + ("weight",)] = _np(tsd[f"{torch_prefix}.weight"])
+    if use_bias and f"{torch_prefix}.bias" in tsd:
+        flat[("params",) + jax_name + ("bias",)] = _np(tsd[f"{torch_prefix}.bias"])
+
+
+def _lin_entries(flat, tsd, torch_prefix, jax_name, use_bias):
+    flat[("params",) + jax_name + ("weight",)] = P.torch_linear_weight(
+        tsd[f"{torch_prefix}.weight"]
+    )
+    if use_bias and f"{torch_prefix}.bias" in tsd:
+        flat[("params",) + jax_name + ("bias",)] = _np(tsd[f"{torch_prefix}.bias"])
+
+
+def simple_vit_torch_to_variables(
+    abstract_variables,
+    tsd: Mapping[str, Any],
+    depth: int,
+    *,
+    add_channels: bool = True,
+    use_bias: bool = False,
+    backbone_scope: Tuple[str, ...] = ("model",),
+):
+    """Import a B-cos-v2 hub *standard* SimpleViT state_dict into the
+    bcosified SimpleViT (bcosify_vit.py:84-154).
+
+    add_channels doubles the patch-embedding linear's input rows per 3-channel
+    pixel group ([w/2, -w/2], bcosify_vit.py:94-121); to_qkv stays a plain
+    Linear (bcosify_vit.py:138).
+    """
+    flat: FlatParams = {}
+    S = backbone_scope
+
+    w = P.torch_linear_weight(tsd["to_patch_embedding.linear.weight"])
+    if add_channels:
+        w = P.vit_patchify_linear_add_channels(w, w.shape[0])
+    flat[("params",) + S + ("to_patch_embedding_linear", "weight")] = w
+    if use_bias and "to_patch_embedding.linear.bias" in tsd:
+        flat[("params",) + S + ("to_patch_embedding_linear", "bias")] = _np(
+            tsd["to_patch_embedding.linear.bias"]
+        )
+
+    for i in range(depth):
+        tp = f"transformer.encoder_{i}"
+        jp = S + (f"encoder_{i}",)
+        _ln_entries(flat, tsd, f"{tp}.attn.norm", jp + ("attn", "norm"), use_bias)
+        _lin_entries(flat, tsd, f"{tp}.attn.to_qkv", jp + ("attn", "to_qkv"), False)
+        _lin_entries(flat, tsd, f"{tp}.attn.to_out", jp + ("attn", "to_out"), False)
+        _ln_entries(flat, tsd, f"{tp}.ff.net.norm", jp + ("ff", "norm"), use_bias)
+        _lin_entries(flat, tsd, f"{tp}.ff.net.linear1", jp + ("ff", "linear1"), use_bias)
+        _lin_entries(flat, tsd, f"{tp}.ff.net.linear2", jp + ("ff", "linear2"), use_bias)
+
+    _ln_entries(flat, tsd, "linear_head.norm", S + ("linear_head_norm",), use_bias)
+    _lin_entries(flat, tsd, "linear_head.linear", S + ("linear_head_linear",), use_bias)
 
     return fill_variables(abstract_variables, flat)

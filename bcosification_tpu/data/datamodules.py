@@ -1,0 +1,296 @@
+"""Data modules with a name registry, torch/lightning-free.
+
+Parity target: `/root/reference/bcos/data/datamodules.py`: the
+`ClassificationDataModule` registry base (datamodules.py:46-189) with
+mixup/cutmix/gridify collate and RASampler hookup; ImageNet (ImageFolder),
+CIFAR10 (native pickle-batch reader), VOC (multilabel XML), CC3M (webdataset —
+see cc3m.py).
+
+The SHM-tar / Redis caching backends (datamodules.py:201-252,
+data/caching/) are replaced by the local-SSD cache in settings.LOCAL_CACHE_DIR
+— on TPU VMs images live on fast local disk, so `cache_dataset` accepts
+'onthefly'/'shm'/None for CLI compatibility but they are no-ops.
+"""
+from __future__ import annotations
+
+import os
+import pickle
+import tarfile
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from bcosification_tpu import settings
+from bcosification_tpu.data import transforms as T
+from bcosification_tpu.data.categories import (
+    CIFAR10_CATEGORIES,
+    IMAGENET_CATEGORIES,
+    VOC_CATEGORIES,
+)
+from bcosification_tpu.data.loader import DataLoader, default_collate
+from bcosification_tpu.data.sampler import RASampler
+
+__all__ = [
+    "ClassificationDataModule",
+    "ImageNetDataModule",
+    "CIFAR10DataModule",
+    "VOCDataModule",
+    "ImageFolder",
+]
+
+IMG_EXTENSIONS = (".jpg", ".jpeg", ".png", ".ppm", ".bmp", ".webp", ".jfif")
+
+
+class ImageFolder:
+    """torchvision-style ImageFolder: root/class_x/xxx.jpg."""
+
+    def __init__(self, root: str, transform: Optional[Callable] = None):
+        self.root = Path(root)
+        self.transform = transform
+        classes = sorted(
+            d.name for d in os.scandir(self.root) if d.is_dir()
+        )
+        self.class_to_idx = {c: i for i, c in enumerate(classes)}
+        self.classes = classes
+        self.samples: List[Tuple[str, int]] = []
+        for c in classes:
+            cdir = self.root / c
+            for f in sorted(os.scandir(cdir), key=lambda e: e.name):
+                if f.name.lower().endswith(IMG_EXTENSIONS):
+                    self.samples.append((f.path, self.class_to_idx[c]))
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, i):
+        from PIL import Image
+
+        path, target = self.samples[i]
+        with Image.open(path) as img:
+            img = img.convert("RGB")
+            if self.transform is not None:
+                img = self.transform(img)
+        return np.asarray(img, np.float32), np.int32(target)
+
+
+class ClassificationDataModule:
+    """Registry base (datamodules.py:46-189)."""
+
+    NUM_CLASSES: Optional[int] = None
+    NUM_TRAIN_EXAMPLES: Optional[int] = None
+    NUM_EVAL_EXAMPLES: Optional[int] = None
+    CATEGORIES: Optional[List[str]] = None
+
+    __registry: Dict[str, type] = {}
+
+    def __init_subclass__(cls, **kwargs):
+        super().__init_subclass__(**kwargs)
+        assert cls.NUM_CLASSES is not None
+        name = cls.__name__
+        if not name.endswith("DataModule"):
+            raise ValueError(f"'{name}' does not end with 'DataModule'")
+        name = name[: -len("DataModule")]
+        if name in ClassificationDataModule.__registry:
+            raise ValueError(f"Data module {name} already registered")
+        ClassificationDataModule.__registry[name] = cls
+
+    @classmethod
+    def registry(cls) -> Dict[str, type]:
+        return dict(cls.__registry)
+
+    def __init__(self, config: Dict[str, Any]):
+        self.config = config
+        self.batch_size = config["batch_size"]
+        self.num_workers = config.get("num_workers", 8)
+        self.train_dataset = None
+        self.eval_dataset = None
+        self.train_collate_fn = self.get_train_collate_fn(
+            config.get("mixup_alpha", 0.0),
+            config.get("cutmix_alpha", 0.0),
+            config.get("p_gridified", 0.0),
+        )
+
+    # -- abstract -------------------------------------------------------------
+    def setup(self, stage: Optional[str] = None):
+        raise NotImplementedError
+
+    # -- loaders --------------------------------------------------------------
+    def train_dataloader(self, seed: int = 0) -> DataLoader:
+        sampler = self.get_train_sampler(seed)
+        return DataLoader(
+            self.train_dataset,
+            self.batch_size,
+            shuffle=sampler is None,
+            sampler=sampler,
+            num_workers=self.num_workers,
+            collate_fn=self.train_collate_fn,
+            drop_last=True,
+            seed=seed,
+        )
+
+    def val_dataloader(self) -> DataLoader:
+        return DataLoader(
+            self.eval_dataset, self.batch_size, num_workers=self.num_workers
+        )
+
+    test_dataloader = val_dataloader
+
+    # -- collate (datamodules.py:136-171) --------------------------------------
+    @classmethod
+    def get_train_collate_fn(cls, mixup_alpha=0.0, cutmix_alpha=0.0, p_gridified=0.0):
+        assert not (p_gridified and mixup_alpha), "For now, do not use both."
+        collate_fn = None
+        if p_gridified:
+            gridify = T.SplitAndGrid(p_gridified, num_classes=cls.NUM_CLASSES)
+
+            def collate_fn(batch):
+                images, targets = default_collate(batch)
+                images, targets = gridify(images, targets)
+                return {"image": images, "label": targets}
+
+        choices = []
+        if mixup_alpha > 0.0:
+            choices.append(T.RandomMixup(cls.NUM_CLASSES, p=1.0, alpha=mixup_alpha))
+        if cutmix_alpha > 0.0:
+            choices.append(T.RandomCutmix(cls.NUM_CLASSES, p=1.0, alpha=cutmix_alpha))
+        if choices:
+            def collate_fn(batch):  # noqa: F811
+                images, targets = default_collate(batch)
+                t = choices[np.random.randint(len(choices))]
+                images, targets = t(images, targets)
+                return {"image": images, "label": targets}
+
+        if collate_fn is None:
+            def collate_fn(batch):
+                images, targets = default_collate(batch)
+                return {"image": images, "label": targets}
+
+        return collate_fn
+
+    def get_train_sampler(self, seed: int = 0):
+        ra_reps = self.config.get("ra_repetitions", None)
+        if ra_reps is not None:
+            return RASampler(
+                self.train_dataset, shuffle=True, seed=seed, repetitions=ra_reps
+            )
+        return None
+
+
+class ImageNetDataModule(ClassificationDataModule):
+    NUM_CLASSES = 1000
+    NUM_TRAIN_EXAMPLES = 1_281_167
+    NUM_EVAL_EXAMPLES = 50_000
+    CATEGORIES = IMAGENET_CATEGORIES
+
+    def setup(self, stage: Optional[str] = None):
+        root = self.config.get("data_root") or settings.IMAGENET_PATH
+        assert root, "Set IMAGENET_PATH"
+        if stage in (None, "fit", "train"):
+            self.train_dataset = ImageFolder(
+                os.path.join(root, "train"), self.config["train_transform"]
+            )
+        self.eval_dataset = ImageFolder(
+            os.path.join(root, "val"), self.config["test_transform"]
+        )
+
+
+class _CIFAR10Dataset:
+    """Native CIFAR-10 python-batch reader (no torchvision)."""
+
+    def __init__(self, root: str, train: bool, transform=None):
+        base = Path(root) / "cifar-10-batches-py"
+        files = (
+            [f"data_batch_{i}" for i in range(1, 6)] if train else ["test_batch"]
+        )
+        xs, ys = [], []
+        for f in files:
+            with open(base / f, "rb") as fh:
+                d = pickle.load(fh, encoding="bytes")
+            xs.append(d[b"data"])
+            ys.extend(d[b"labels"])
+        self.data = (
+            np.concatenate(xs).reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+        )  # HWC uint8
+        self.targets = np.asarray(ys, np.int32)
+        self.transform = transform
+
+    def __len__(self):
+        return len(self.data)
+
+    def __getitem__(self, i):
+        img = self.data[i]
+        if self.transform is not None:
+            img = self.transform(img)
+        return np.asarray(img, np.float32), self.targets[i]
+
+
+class CIFAR10DataModule(ClassificationDataModule):
+    NUM_CLASSES = 10
+    NUM_TRAIN_EXAMPLES = 50_000
+    NUM_EVAL_EXAMPLES = 10_000
+    CATEGORIES = CIFAR10_CATEGORIES
+
+    def setup(self, stage: Optional[str] = None):
+        root = self.config.get("data_root") or settings.DATA_ROOT
+        assert root, "Set DATA_ROOT"
+        if stage in (None, "fit", "train"):
+            self.train_dataset = _CIFAR10Dataset(
+                root, True, self.config["train_transform"]
+            )
+        self.eval_dataset = _CIFAR10Dataset(root, False, self.config["test_transform"])
+
+
+class _VOCDataset:
+    """VOC multilabel dataset with XML annotation parse
+    (datamodules.py:283-460)."""
+
+    def __init__(self, root: str, image_set: str, transform=None):
+        from xml.etree.ElementTree import parse as ET_parse
+
+        self.root = Path(root)
+        self.transform = transform
+        split_file = (
+            self.root / "ImageSets" / "Main" / f"{image_set}.txt"
+        )
+        with open(split_file) as f:
+            ids = [line.strip() for line in f if line.strip()]
+        self.images = [self.root / "JPEGImages" / f"{i}.jpg" for i in ids]
+        self.annotations = [self.root / "Annotations" / f"{i}.xml" for i in ids]
+        self._parse = ET_parse
+        self.cat_to_idx = {c: i for i, c in enumerate(VOC_CATEGORIES)}
+
+    def __len__(self):
+        return len(self.images)
+
+    def _target(self, ann_path) -> np.ndarray:
+        tree = self._parse(ann_path)
+        label = np.zeros(len(VOC_CATEGORIES), np.float32)
+        for obj in tree.getroot().iter("object"):
+            name = obj.find("name").text
+            if name in self.cat_to_idx:
+                label[self.cat_to_idx[name]] = 1.0
+        return label
+
+    def __getitem__(self, i):
+        from PIL import Image
+
+        with Image.open(self.images[i]) as img:
+            img = img.convert("RGB")
+            if self.transform is not None:
+                img = self.transform(img)
+        return np.asarray(img, np.float32), self._target(self.annotations[i])
+
+
+class VOCDataModule(ClassificationDataModule):
+    NUM_CLASSES = 20
+    CATEGORIES = VOC_CATEGORIES
+
+    def setup(self, stage: Optional[str] = None):
+        root = self.config.get("data_root") or settings.VOC_PATH
+        assert root, "Set VOC_PATH"
+        if stage in (None, "fit", "train"):
+            self.train_dataset = _VOCDataset(
+                root, "trainval", self.config["train_transform"]
+            )
+        self.eval_dataset = _VOCDataset(root, "val", self.config["test_transform"])

@@ -95,8 +95,10 @@ def normed_linear_weight(w: jax.Array, scale: Optional[jax.Array] = None) -> jax
 
 
 def _conv(x, w, stride, padding, dilation, groups):
-    # HIGHEST keeps fp32 convs exactly fp32 (XLA's default may strength-reduce);
-    # bf16 inputs ride the MXU with fp32 accumulation via preferred_element_type.
+    # HIGHEST keeps fp32 convs exactly fp32 (XLA's default may strength-reduce).
+    # bf16 inputs ride the MXU, which accumulates in fp32 regardless of the
+    # stored output type (preferred_element_type's transpose rule mis-types the
+    # VJP in this JAX version, so we rely on the MXU's native accumulation).
     return lax.conv_general_dilated(
         x,
         w,
@@ -105,9 +107,8 @@ def _conv(x, w, stride, padding, dilation, groups):
         rhs_dilation=_pair(dilation),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32 if x.dtype == jnp.bfloat16 else None,
         precision=lax.Precision.HIGHEST if x.dtype == jnp.float32 else None,
-    ).astype(x.dtype)
+    )
 
 
 def patch_norms(
@@ -237,9 +238,9 @@ def bcos_conv2d(
     out_channels = w.shape[-1] // max_out
 
     wn = normed_conv_weight(w, scale) if normalize_weights else w
-    out = _conv(x, wn, stride, padding, dilation, groups)
+    out = _conv(x, wn.astype(x.dtype), stride, padding, dilation, groups)
     if bias is not None:
-        out = out + jnp.reshape(bias, (1, 1, 1, -1))
+        out = out + jnp.reshape(bias, (1, 1, 1, -1)).astype(out.dtype)
 
     if max_out > 1:
         out = jnp.max(
@@ -320,10 +321,9 @@ def bcos_linear(
     wn = normed_linear_weight(w, scale) if normalize_weights else w
     out = jnp.dot(
         x,
-        wn,
-        preferred_element_type=jnp.float32 if x.dtype == jnp.bfloat16 else None,
+        wn.astype(x.dtype),
         precision=jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None,
-    ).astype(x.dtype)
+    )
     if bias is not None:
         out = out + bias
     if max_out > 1:
@@ -351,9 +351,9 @@ def normed_conv2d(
 ) -> jax.Array:
     """Plain conv with unit-norm weights (`NormedConv2d`, bcosconv2d.py:17-41)."""
     wn = normed_conv_weight(w, scale) if use_weight_norm else w
-    out = _conv(x, wn, stride, padding, dilation, groups)
+    out = _conv(x, wn.astype(x.dtype), stride, padding, dilation, groups)
     if bias is not None:
-        out = out + jnp.reshape(bias, (1, 1, 1, -1))
+        out = out + jnp.reshape(bias, (1, 1, 1, -1)).astype(out.dtype)
     return out
 
 
@@ -367,7 +367,7 @@ def normed_linear(
 ) -> jax.Array:
     """Plain linear with unit-norm weights (`NormedLinear`, bcoslinear.py:20-27)."""
     wn = normed_linear_weight(w, scale) if use_weight_norm else w
-    out = x @ wn
+    out = x @ wn.astype(x.dtype)
     if bias is not None:
         out = out + bias
     return out

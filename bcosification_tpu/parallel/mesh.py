@@ -1,0 +1,69 @@
+"""Device mesh + sharding helpers.
+
+The reference scales exclusively via DDP (PL `strategy="ddp..."`,
+`/root/reference/bcos/training/trainer.py:915-918`; NCCL allreduce). The
+TPU-native equivalent is a single `jax.sharding.Mesh` with a 'data' axis:
+batches are sharded over it, parameters replicated, and XLA inserts the psum
+of gradients over ICI (DP == pjit with batch-sharded inputs). A second 'model'
+axis is provisioned for tensor-parallel extensions.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "make_mesh",
+    "data_sharding",
+    "replicated_sharding",
+    "shard_batch",
+    "replicate",
+    "local_device_count",
+]
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    model_parallel: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    assert n % model_parallel == 0, (n, model_parallel)
+    arr = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    """Shard the leading (batch) axis over 'data'."""
+    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Device_put each leaf with its batch axis sharded over 'data'."""
+
+    def put(x):
+        return jax.device_put(x, data_sharding(mesh, np.ndim(x)))
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    sh = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def local_device_count() -> int:
+    return jax.local_device_count()

@@ -1,0 +1,194 @@
+"""Train/eval steps — the TPU-native core of the training orchestration.
+
+Parity target: `ClassificationLitModel.training_step` + optimizer/EMA/AGC
+wiring (`/root/reference/bcos/training/trainer.py:369-910`) and the
+manual-optimisation `BcosifyTrainer` (two optimizers: main + SGD over the
+learnable `b` params, `/root/reference/bcos/training/bcosify_trainer.py:76-165`).
+
+Design: one jitted `train_step(state, batch)` under a data mesh — batch
+sharded over 'data', state replicated; XLA inserts the gradient psum over ICI
+(the DDP allreduce). BN batch statistics are computed over the *global* batch
+(an upgrade over DDP's per-replica stats — exact, not approximate). The
+learnable-b machinery is explicit: the b:1->2 interpolation schedule (the
+reference's forced-gradient hook, training/hooks.py:7-23) writes the b leaves
+directly; the `b_loss`/`clamping` variants train them with the auxiliary SGD.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from bcosification_tpu.optim.optimizer_factory import b_param_labels, is_b_param
+from bcosification_tpu.training import agc as agc_lib
+from bcosification_tpu.training import ema as ema_lib
+
+__all__ = ["TrainState", "create_train_state", "make_train_step", "make_eval_step", "set_b_params"]
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    b_opt_state: Optional[Any] = None
+    ema_params: Optional[Any] = None
+    ema_batch_stats: Optional[Any] = None
+
+
+def set_b_params(params, value):
+    """Overwrite every learnable-b leaf with `value` — the explicit form of the
+    reference's gradient-hook b schedule (hooks.py:7-23)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, p: jnp.full_like(p, value) if is_b_param(path) else p, params
+    )
+
+
+def create_train_state(
+    variables,
+    tx: optax.GradientTransformation,
+    b_tx: Optional[optax.GradientTransformation] = None,
+    with_ema: bool = False,
+) -> TrainState:
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        b_opt_state=b_tx.init(params) if b_tx is not None else None,
+        ema_params=jax.tree_util.tree_map(jnp.copy, params) if with_ema else None,
+        ema_batch_stats=(
+            jax.tree_util.tree_map(jnp.copy, batch_stats) if with_ema else None
+        ),
+    )
+
+
+def make_train_step(
+    model,
+    criterion: Callable,
+    tx: optax.GradientTransformation,
+    b_tx: Optional[optax.GradientTransformation] = None,
+    *,
+    use_agc: bool = False,
+    agc_clip_factor: float = 0.01,
+    gradient_clip_val: Optional[float] = None,
+    ema_decay: Optional[float] = None,
+    ema_steps: int = 32,
+    b_schedule: Optional[Callable] = None,
+    donate: bool = True,
+):
+    """Build the jitted train step.
+
+    - use_agc: NFNet adaptive clipping (trainer.py:872-883), applied to grads
+      before the main optimizer; mutually exclusive with gradient_clip_val
+      (plain global-norm clip).
+    - ema_decay: enables EMA (params + batch_stats) every ema_steps.
+    - b_schedule(step) -> b value: overwrites learnable-b leaves (interpolated
+      b variant); b grads are then ignored.
+    - b_tx: auxiliary optimizer over the b leaves (manual-optim variant).
+    """
+
+    def loss_fn(params, batch_stats, batch):
+        out, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["image"],
+            train=True,
+            mutable=["batch_stats"],
+        )
+        loss = criterion(out, batch["label"])
+        return loss, (out, mutated.get("batch_stats", {}))
+
+    def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, Any]]:
+        params = state.params
+        if b_schedule is not None:
+            params = set_b_params(params, b_schedule(state.step))
+
+        (loss, (out, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, state.batch_stats, batch
+        )
+
+        main_grads = grads
+        if use_agc:
+            main_grads = agc_lib.adaptive_clip_grads(
+                params, main_grads, clip_factor=agc_clip_factor
+            )
+        elif gradient_clip_val:
+            gnorm = optax.global_norm(main_grads)
+            scale = jnp.minimum(1.0, gradient_clip_val / (gnorm + 1e-6))
+            main_grads = jax.tree_util.tree_map(lambda g: g * scale, main_grads)
+
+        updates, opt_state = tx.update(main_grads, state.opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+
+        b_opt_state = state.b_opt_state
+        if b_tx is not None:
+            b_updates, b_opt_state = b_tx.update(grads, state.b_opt_state, params)
+            new_params = optax.apply_updates(new_params, b_updates)
+
+        step = state.step + 1
+        ema_params, ema_bs = state.ema_params, state.ema_batch_stats
+        if ema_decay is not None and ema_params is not None:
+            ema_params = ema_lib.maybe_ema_update(
+                ema_params, new_params, ema_decay, step, ema_steps
+            )
+            ema_bs = ema_lib.maybe_ema_update(
+                ema_bs, new_bs, ema_decay, step, ema_steps
+            )
+
+        new_state = state.replace(
+            step=step,
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=opt_state,
+            b_opt_state=b_opt_state,
+            ema_params=ema_params,
+            ema_batch_stats=ema_bs,
+        )
+        metrics = {
+            "loss": loss,
+            "acc1": jnp.mean(
+                (jnp.argmax(out, -1) == _dense_to_sparse(batch["label"])).astype(
+                    jnp.float32
+                )
+            ),
+        }
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def _dense_to_sparse(label):
+    return label if label.ndim == 1 else jnp.argmax(label, -1)
+
+
+def make_eval_step(model, test_criterion: Optional[Callable] = None, use_ema: bool = False):
+    """Jitted eval step returning (loss?, top1 correct, top5 correct) counts."""
+
+    def eval_step(state: TrainState, batch):
+        params = state.ema_params if use_ema else state.params
+        bs = state.ema_batch_stats if use_ema else state.batch_stats
+        out = model.apply(
+            {"params": params, "batch_stats": bs}, batch["image"], train=False
+        )
+        label = _dense_to_sparse(batch["label"])
+        top5 = jax.lax.top_k(out, 5)[1]
+        correct1 = (jnp.argmax(out, -1) == label).astype(jnp.float32)
+        correct5 = jnp.any(top5 == label[:, None], axis=-1).astype(jnp.float32)
+        metrics = {
+            "correct1": correct1.sum(),
+            "correct5": correct5.sum(),
+            "count": jnp.asarray(label.shape[0], jnp.float32),
+        }
+        if test_criterion is not None:
+            metrics["loss"] = test_criterion(out, batch["label"]) * label.shape[0]
+        return metrics
+
+    return jax.jit(eval_step)

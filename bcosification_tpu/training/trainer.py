@@ -1,0 +1,289 @@
+"""Training orchestration — the `run_training` loop.
+
+Parity target: `/root/reference/bcos/training/training.py:14-89` (assembly) and
+`ClassificationLitModel` (`/root/reference/bcos/training/trainer.py:369-910`):
+config-driven criterion/optimizer/schedule, AGC, EMA (+adjusted decay), the
+two-optimizer learnable-b variant (bcosify_trainer.py:76-165), checkpoints
+(last + top-3 by val_acc1 / val_loss for KD), metrics tracking persisted to
+metrics/*.gz, CSV logging, per-epoch validation, explanation logging, resume
+from last.ckpt.
+
+TPU-native structure: one jitted train_step under a data mesh; the host loop
+only feeds sharded numpy batches and handles logging/checkpointing.
+"""
+from __future__ import annotations
+
+import gzip
+import json
+import math
+import time
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bcosification_tpu.parallel import mesh as mesh_lib
+from bcosification_tpu.training import steps as steps_lib
+from bcosification_tpu.training.checkpointing import CheckpointManager
+from bcosification_tpu.training.ema import adjusted_ema_decay
+
+__all__ = ["run_training", "build_train_state_template", "Trainer"]
+
+
+def _make_optimizers(experiment, params, steps_per_epoch: int):
+    config = experiment.config
+    opt_factory = config["optimizer"]
+    sched_factory = config.get("lr_scheduler")
+    schedule = (
+        sched_factory.create(opt_factory.lr, steps_per_epoch)
+        if sched_factory is not None
+        else opt_factory.lr
+    )
+    tx = opt_factory.create(schedule, params)
+
+    b_tx = None
+    bargs = config.get("model", {}).get("bcosify_args", {}) or {}
+    if bargs.get("manual_optim", False):
+        # auxiliary SGD over the learnable b params; lr scaled by world size
+        # (bcosify_trainer.py:88-107)
+        b_opt_factory = config.get("b_optimizer", opt_factory.with_name("sgd"))
+        b_tx = b_opt_factory.with_args(bcosify=True, b_opt=True).create(
+            b_opt_factory.lr, params
+        )
+    return tx, b_tx, schedule
+
+
+def build_train_state_template(experiment, model, variables) -> steps_lib.TrainState:
+    """Abstract TrainState matching what training produces — for checkpoint
+    restore shape/dtype resolution."""
+    tx, b_tx, _ = _make_optimizers(experiment, variables["params"], steps_per_epoch=1)
+    with_ema = experiment.config.get("ema", None) is not None
+    return steps_lib.create_train_state(variables, tx, b_tx, with_ema=with_ema)
+
+
+class Trainer:
+    """Host-side training driver."""
+
+    def __init__(self, experiment, args=None, mesh=None):
+        self.experiment = experiment
+        self.config = experiment.config
+        self.args = args or {}
+        self.mesh = mesh or mesh_lib.make_mesh()
+        self.save_dir = experiment.save_dir
+        self.save_dir.mkdir(parents=True, exist_ok=True)
+        monitor = "val_loss" if self._is_clip_kd() else "val_acc1"
+        self.ckpt = CheckpointManager(
+            str(self.save_dir),
+            monitor=monitor,
+            mode="min" if monitor == "val_loss" else "max",
+        )
+        self.metrics_history: Dict[str, list] = {}
+
+    def _is_clip_kd(self):
+        margs = self.config.get("model", {}).get("bcosify_args", {}) or {}
+        return bool(margs.get("clip_kd", False))
+
+    # -- logging ---------------------------------------------------------------
+    def _log_metrics(self, epoch: int, metrics: Dict[str, float]):
+        for k, v in metrics.items():
+            self.metrics_history.setdefault(k, []).append((epoch, float(v)))
+        mdir = self.save_dir / "metrics"
+        mdir.mkdir(exist_ok=True)
+        with gzip.open(mdir / "metrics.json.gz", "wt") as f:
+            json.dump(self.metrics_history, f)
+        csv_path = self.save_dir / "metrics.csv"
+        write_header = not csv_path.exists()
+        keys = sorted(metrics)
+        with open(csv_path, "a") as f:
+            if write_header:
+                f.write("epoch," + ",".join(keys) + "\n")
+            f.write(f"{epoch}," + ",".join(f"{metrics[k]:.6f}" for k in keys) + "\n")
+
+    # -- main loop ---------------------------------------------------------------
+    def fit(
+        self,
+        model,
+        variables,
+        datamodule,
+        max_epochs: Optional[int] = None,
+        fast_dev_run: bool = False,
+        explanation_logging: bool = False,
+        explanation_logging_every_n_epochs: int = 1,
+    ):
+        config = self.config
+        max_epochs = max_epochs or config.get("trainer", {}).get("max_epochs", 90)
+        datamodule.setup("fit")
+        train_loader = datamodule.train_dataloader(seed=config.get("seed", 0) or 0)
+        steps_per_epoch = max(len(train_loader), 1)
+
+        tx, b_tx, schedule = _make_optimizers(
+            self.experiment, variables["params"], steps_per_epoch
+        )
+
+        ema_config = config.get("ema", None)
+        ema_decay = None
+        ema_steps = 32
+        if ema_config is not None:
+            ema_steps = ema_config.get("steps", 32)
+            world = self.mesh.devices.size
+            ema_decay = adjusted_ema_decay(
+                ema_config["decay"],
+                world_size=1,  # global batch already accounted below
+                batch_size=datamodule.batch_size * world,
+                max_epochs=max_epochs,
+                ema_steps=ema_steps,
+            )
+
+        bargs = config.get("model", {}).get("bcosify_args", {}) or {}
+        b_schedule = None
+        if bargs.get("b_interpolation", False):
+            # explicit b: 1 -> 2 linear schedule over training (hooks.py:7-23)
+            total = max_epochs * steps_per_epoch
+
+            def b_schedule(step):  # noqa: F811
+                return 1.0 + jnp.clip(step / total, 0.0, 1.0)
+
+        train_step = steps_lib.make_train_step(
+            model,
+            config["criterion"],
+            tx,
+            b_tx,
+            use_agc=config.get("use_agc", False),
+            gradient_clip_val=config.get("trainer", {}).get("gradient_clip_val"),
+            ema_decay=ema_decay,
+            ema_steps=ema_steps,
+            b_schedule=b_schedule,
+        )
+        eval_step = steps_lib.make_eval_step(model, config.get("test_criterion"))
+        eval_step_ema = (
+            steps_lib.make_eval_step(model, config.get("test_criterion"), use_ema=True)
+            if ema_config is not None
+            else None
+        )
+
+        state = steps_lib.create_train_state(
+            variables, tx, b_tx, with_ema=ema_config is not None
+        )
+
+        # resume (training.py:82-89)
+        start_epoch = 0
+        restored, last_epoch = self.ckpt.restore(state, "last")
+        if restored is not None:
+            state, start_epoch = restored, last_epoch + 1
+            print(f"Resuming from epoch {last_epoch}")
+
+        state = mesh_lib.replicate(state, self.mesh)
+
+        for epoch in range(start_epoch, max_epochs):
+            t0 = time.time()
+            train_loader.set_epoch(epoch)
+            losses, accs, n_steps = [], [], 0
+            for batch in train_loader:
+                batch = mesh_lib.shard_batch(batch, self.mesh)
+                state, metrics = train_step(state, batch)
+                losses.append(metrics["loss"])
+                accs.append(metrics["acc1"])
+                n_steps += 1
+                if fast_dev_run:
+                    break
+            train_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
+            train_acc = float(jnp.mean(jnp.stack(accs))) if accs else float("nan")
+
+            val_metrics = self.validate(eval_step, state, datamodule)
+            epoch_metrics = {
+                "train_loss": train_loss,
+                "train_acc1": train_acc,
+                "epoch_time_s": time.time() - t0,
+                "lr": float(schedule(state.step)) if callable(schedule) else schedule,
+                **val_metrics,
+            }
+            if eval_step_ema is not None:
+                ema_metrics = self.validate(eval_step_ema, state, datamodule)
+                epoch_metrics.update({f"{k}_ema": v for k, v in ema_metrics.items()})
+
+            self._log_metrics(epoch, epoch_metrics)
+            self.ckpt.save(jax.device_get(state), epoch, epoch_metrics)
+            print(
+                f"epoch {epoch}: loss {train_loss:.4f} acc {train_acc:.4f} "
+                f"val_acc1 {val_metrics.get('val_acc1', float('nan')):.4f} "
+                f"({epoch_metrics['epoch_time_s']:.1f}s)"
+            )
+
+            if explanation_logging and (
+                epoch % explanation_logging_every_n_epochs == 0
+            ):
+                self._log_explanations(model, state, datamodule, epoch)
+
+            if fast_dev_run:
+                break
+        return state
+
+    def validate(self, eval_step, state, datamodule) -> Dict[str, float]:
+        loader = datamodule.val_dataloader()
+        totals: Dict[str, float] = {}
+        for batch in loader:
+            batch = mesh_lib.shard_batch(batch, self.mesh)
+            m = eval_step(state, batch)
+            for k, v in m.items():
+                totals[k] = totals.get(k, 0.0) + float(v)
+        count = max(totals.pop("count", 1.0), 1.0)
+        out = {
+            "val_acc1": totals.get("correct1", 0.0) / count,
+            "val_acc5": totals.get("correct5", 0.0) / count,
+        }
+        if "loss" in totals:
+            out["val_loss"] = totals["loss"] / count
+        return out
+
+    def _log_explanations(self, model, state, datamodule, epoch, n_images: int = 8):
+        """ExplanationsLogger equivalent (explanation_logger.py:59-309): fixed
+        val images -> explanation-mode RGBA maps saved under explanations/."""
+        from bcosification_tpu.explain.core import make_explain_fn
+
+        try:
+            loader = datamodule.val_dataloader()
+            batch = next(iter(loader))
+        except Exception:
+            return
+        x = jnp.asarray(batch["image"][:n_images])
+        explain_fn = make_explain_fn(model)
+        res = explain_fn(
+            {"params": jax.device_get(state.params),
+             "batch_stats": jax.device_get(state.batch_stats)},
+            x,
+        )
+        outdir = self.save_dir / "explanations"
+        outdir.mkdir(exist_ok=True)
+        np.savez_compressed(
+            outdir / f"epoch_{epoch}.npz",
+            explanation=np.asarray(res["explanation"]),
+            contribution_map=np.asarray(res["contribution_map"]),
+            prediction=np.asarray(res["prediction"]),
+        )
+
+
+def run_training(args) -> None:
+    """CLI assembly (training.py:14-89). ``args``: argparse Namespace from
+    train.py."""
+    from bcosification_tpu.experiments.utils.experiment_utils import Experiment
+
+    experiment = Experiment(args.dataset, args.base_network, args.experiment_name)
+    np.random.seed(experiment.config.get("seed", 42) or 42)
+
+    model, variables = experiment.get_model()
+    datamodule = experiment.get_datamodule(
+        cache_dataset=getattr(args, "cache_dataset", None)
+    )
+    trainer = Trainer(experiment, vars(args))
+    trainer.fit(
+        model,
+        variables,
+        datamodule,
+        fast_dev_run=getattr(args, "fast_dev_run", False),
+        explanation_logging=getattr(args, "explanation_logging", False),
+        explanation_logging_every_n_epochs=getattr(
+            args, "explanation_logging_every_n_epochs", 1
+        ),
+    )

@@ -1,0 +1,100 @@
+"""Benchmark: B-cos ResNet-50 forward + explanation-map throughput.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "img/s/chip", "vs_baseline": N}
+
+BASELINE.json north star: >= 5000 images/sec/chip for RN50 forward +
+explanation (dynamic-linear W(x) contribution maps) on TPU v5e; vs_baseline is
+value / 5000.
+
+Methodology: the timed region is ONE jitted program running N dependent
+iterations via lax.fori_loop (each iteration's input is perturbed by the
+previous result, so XLA cannot hoist or elide work, and async-dispatch /
+block_until_ready quirks cannot fake the timing); the scalar result is fetched
+to the host to close the timing.
+"""
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+NORTH_STAR = 5000.0  # img/s/chip, BASELINE.json
+BATCH = int(__import__("os").getenv("BENCH_BATCH", "64"))
+
+
+def build():
+    from __graft_entry__ import _flagship
+
+    return _flagship(input_size=224, arch="resnet50")
+
+
+def make_bench_fn(net, n_iters: int):
+    from functools import partial
+
+    from bcosification_tpu.explain.core import dynamic_linear_weights
+
+    @partial(jax.jit, static_argnums=(2,))
+    def bench_n(variables, x, n):
+        def body(i, carry):
+            acc, xx = carry
+
+            def f(inp):
+                return net.apply(variables, inp, train=False, explain=True)
+
+            logits, sel, w = dynamic_linear_weights(f, xx)
+            cmap = (xx * w).sum(-1)
+            acc = acc + (cmap.mean() + logits.mean()).astype(jnp.float32)
+            # data dependency between iterations (prevents loop-invariant
+            # code motion); the perturbation is numerically negligible
+            xx = xx + (1e-12 * acc).astype(xx.dtype)
+            return acc, xx
+
+        acc, _ = jax.lax.fori_loop(0, n, body, (jnp.float32(0), x))
+        return acc
+
+    return bench_n
+
+
+def main():
+    import os
+
+    dtype = jnp.bfloat16 if os.getenv("BENCH_DTYPE", "bf16") == "bf16" else jnp.float32
+    net, variables = build()
+    x = jnp.asarray(
+        np.random.default_rng(0).random((BATCH, 224, 224, 6), dtype=np.float32)
+    ).astype(dtype)
+    bench_n = make_bench_fn(net, 0)
+
+    # warm up / compile both variants
+    float(bench_n(variables, x, 2))
+    n_small, n_big = 2, 12
+    float(bench_n(variables, x, n_big))
+
+    t0 = time.perf_counter()
+    float(bench_n(variables, x, n_small))
+    t_small = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    float(bench_n(variables, x, n_big))
+    t_big = time.perf_counter() - t0
+
+    # slope removes the fixed dispatch/transfer overhead
+    per_iter = (t_big - t_small) / (n_big - n_small)
+    img_per_s = BATCH / per_iter
+    print(
+        json.dumps(
+            {
+                "metric": "bcos_rn50_fwd_explain_throughput",
+                "value": round(img_per_s, 2),
+                "unit": "img/s/chip",
+                "vs_baseline": round(img_per_s / NORTH_STAR, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -33,6 +33,9 @@ def _stub_packages():
             "bcos.modules.norms.uncentered_norms",
             REFERENCE / "bcos" / "modules" / "norms" / "uncentered_norms",
         ),
+        ("bcos.training", REFERENCE / "bcos" / "training"),
+        ("bcos.models", REFERENCE / "bcos" / "models"),
+        ("bcos.data", REFERENCE / "bcos" / "data"),
     ]:
         if name not in sys.modules:
             mod = types.ModuleType(name)

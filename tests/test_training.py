@@ -1,0 +1,187 @@
+"""End-to-end training-stack tests on synthetic data: optimizer/schedule
+factories, AGC, EMA, train/eval steps, checkpointing + resume."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from bcosification_tpu.losses import UniformOffLabelsBCEWithLogitsLoss
+from bcosification_tpu.optim import LRSchedulerFactory, OptimizerFactory
+from bcosification_tpu.parallel import mesh as mesh_lib
+from bcosification_tpu.training import steps as steps_lib
+from bcosification_tpu.training.agc import adaptive_clip_grads, unitwise_norm
+from bcosification_tpu.training.checkpointing import CheckpointManager
+from bcosification_tpu.training.ema import adjusted_ema_decay, ema_update
+
+from reference_loader import load_reference, reference_available
+
+needs_reference = pytest.mark.skipif(
+    not reference_available(), reason="reference repo not mounted"
+)
+
+
+def _tiny_model(num_classes=5):
+    from flax import linen as nn
+
+    from bcosification_tpu.modules import BcosConv2d, norms
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, *, train=False, explain=False):
+            x = BcosConv2d(features=8, kernel_size=3, padding=1)(
+                x, train=train, explain=explain
+            )
+            x = norms.NoBias(norms.BatchNormUncentered2d)(features=8)(
+                x, train=train, explain=explain
+            )
+            x = BcosConv2d(features=num_classes, kernel_size=1)(
+                x, train=train, explain=explain
+            )
+            return x.mean(axis=(1, 2))
+
+    return Tiny()
+
+
+@pytest.fixture
+def tiny_setup(rng):
+    model = _tiny_model()
+    x = jnp.asarray(rng.random((4, 8, 8, 6)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=True)
+    return model, variables, x
+
+
+def test_train_step_reduces_loss(tiny_setup, rng):
+    model, variables, x = tiny_setup
+    tx = OptimizerFactory(name="Adam", lr=1e-2).create(1e-2)
+    step = steps_lib.make_train_step(
+        model, UniformOffLabelsBCEWithLogitsLoss(), tx, use_agc=True,
+        ema_decay=0.9, ema_steps=1, donate=False,
+    )
+    state = steps_lib.create_train_state(variables, tx, with_ema=True)
+    batch = {"image": x, "label": jnp.asarray(rng.integers(0, 5, 4))}
+    losses = []
+    for _ in range(20):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 20
+    # EMA params differ from raw params but are finite
+    diff = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), state.params, state.ema_params
+    )
+    assert all(np.isfinite(v) for v in jax.tree_util.tree_leaves(diff))
+
+
+def test_train_step_multidevice(tiny_setup, rng):
+    model, variables, x = tiny_setup
+    mesh = mesh_lib.make_mesh(4)
+    tx = optax.sgd(1e-2)
+    step = steps_lib.make_train_step(
+        model, UniformOffLabelsBCEWithLogitsLoss(), tx, donate=False
+    )
+    state = steps_lib.create_train_state(variables, tx)
+    state_r = mesh_lib.replicate(state, mesh)
+    batch = {
+        "image": jnp.asarray(rng.random((8, 8, 8, 6)).astype(np.float32)),
+        "label": jnp.asarray(rng.integers(0, 5, 8)),
+    }
+    batch_s = mesh_lib.shard_batch(batch, mesh)
+    state1, m1 = step(state_r, batch_s)
+    # single-device result must match the sharded result (DP == pjit psum)
+    state2, m2 = step(state, batch)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    l1 = jax.tree_util.tree_leaves(jax.device_get(state1.params))
+    l2 = jax.tree_util.tree_leaves(jax.device_get(state2.params))
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+@needs_reference
+def test_agc_vs_torch(rng):
+    import torch
+
+    ref = load_reference("bcos.training.agc")
+    # conv weight: torch OIHW <-> ours HWIO
+    w_oihw = rng.standard_normal((8, 4, 3, 3)).astype(np.float32)
+    g_oihw = rng.standard_normal((8, 4, 3, 3)).astype(np.float32) * 10
+    p = torch.nn.Parameter(torch.from_numpy(w_oihw))
+    p.grad = torch.from_numpy(g_oihw.copy())
+    ref.adaptive_clip_grad_([p])
+    want = p.grad.numpy()
+
+    w_hwio = jnp.asarray(w_oihw.transpose(2, 3, 1, 0))
+    g_hwio = jnp.asarray(g_oihw.transpose(2, 3, 1, 0))
+    got = adaptive_clip_grads(w_hwio, g_hwio)
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(3, 2, 0, 1), want, rtol=1e-5, atol=1e-6
+    )
+
+
+def test_lr_schedules_match_torch_semantics():
+    import math
+
+    spe = 10
+    # cosine with linear warmup, epoch interval
+    f = LRSchedulerFactory(
+        name="cosineannealinglr", epochs=10, warmup_epochs=2, warmup_method="linear",
+        warmup_decay=0.01,
+    ).create(1.0, spe)
+    assert abs(float(f(0)) - 0.01) < 1e-6  # start factor
+    # after warmup: t=0 of cosine -> lr = 1.0
+    assert abs(float(f(2 * spe)) - 1.0) < 1e-6
+    # end of training: cos(pi) -> 0
+    assert float(f(10 * spe)) < 1e-6
+
+    g = LRSchedulerFactory(name="steplr", step_size=3, gamma=0.1).create(1.0, spe)
+    assert abs(float(g(0)) - 1.0) < 1e-9
+    assert abs(float(g(3 * spe)) - 0.1) < 1e-9
+    assert abs(float(g(6 * spe)) - 0.01) < 1e-9
+
+
+def test_checkpoint_manager_roundtrip(tmp_path, tiny_setup):
+    model, variables, x = tiny_setup
+    tx = optax.adam(1e-3)
+    state = steps_lib.create_train_state(variables, tx, with_ema=True)
+    mgr = CheckpointManager(str(tmp_path), monitor="val_acc1", top_k=2)
+    for epoch, acc in enumerate([0.1, 0.5, 0.3, 0.7, 0.2]):
+        state = state.replace(step=state.step + 1)
+        mgr.save(jax.device_get(state), epoch, {"val_acc1": acc})
+    # pruning: keep last (4) + top2 (3:0.7, 1:0.5)
+    assert set(mgr.available_checkpoints()) == {1, 3, 4}
+    assert mgr.resolve("best") == 3
+    assert mgr.resolve("last") == 4
+    restored, epoch = mgr.restore(state, "best")
+    assert epoch == 3 and int(restored.step) == 4
+    l1 = jax.tree_util.tree_leaves(restored.params)
+    assert all(np.isfinite(np.asarray(x)).all() for x in l1)
+
+
+def test_b_schedule_overwrites_b(rng):
+    from bcosification_tpu.modules import BcosifyConv2d
+
+    from flax import linen as nn
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x, *, train=False, explain=False):
+            x = BcosifyConv2d(features=4, kernel_size=3, padding=1, learnable_b=True, b=1.0)(
+                x, train=train, explain=explain
+            )
+            return x.mean(axis=(1, 2))
+
+    model = M()
+    x = jnp.asarray(rng.random((2, 8, 8, 6)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    p2 = steps_lib.set_b_params(variables["params"], 1.7)
+    flat = jax.tree_util.tree_flatten_with_path(p2)[0]
+    bs = [v for path, v in flat if path[-1].key == "b"]
+    assert len(bs) == 1 and float(bs[0]) == pytest.approx(1.7)
+
+
+def test_adjusted_ema_decay_formula():
+    # trainer.py:552-561
+    d = adjusted_ema_decay(0.99, world_size=4, batch_size=64, max_epochs=90, ema_steps=32)
+    adjust = 4 * 64 * 32 * 1 / 90
+    assert d == pytest.approx(1.0 - min(1.0, (1 - 0.99) * adjust))
