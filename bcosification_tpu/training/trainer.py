@@ -112,6 +112,11 @@ class Trainer:
         explanation_logging: bool = False,
         explanation_logging_every_n_epochs: int = 1,
     ):
+        if self.config.get("clip_kd", False):
+            return self.fit_kd(
+                model, variables, datamodule, max_epochs=max_epochs,
+                fast_dev_run=fast_dev_run,
+            )
         config = self.config
         max_epochs = max_epochs or config.get("trainer", {}).get("max_epochs", 90)
         datamodule.setup("fit")
@@ -220,6 +225,166 @@ class Trainer:
                 break
         return state
 
+    def fit_kd(
+        self,
+        model,
+        variables,
+        datamodule,
+        max_epochs: Optional[int] = None,
+        fast_dev_run: bool = False,
+    ):
+        """SigLIP knowledge distillation (trainer.py:652-724 + callbacks):
+        frozen CLIP RN50 teacher, B-cosified student, per-epoch val loss and
+        (when data is reachable) CLIP zeroshot eval."""
+        from bcosification_tpu.clip.load import load as clip_load
+        from bcosification_tpu.training import kd as kd_lib
+
+        config = self.config
+        max_epochs = max_epochs or config.get("trainer", {}).get("max_epochs", 90)
+        datamodule.setup("fit")
+        train_loader = datamodule.train_dataloader(seed=config.get("seed", 0) or 0)
+        try:
+            steps_per_epoch = max(len(train_loader), 1)
+        except TypeError:  # webdataset pipelines have no len
+            steps_per_epoch = config.get("steps_per_epoch", 5000)
+
+        teacher, teacher_vars, text_model, text_vars, _, _ = clip_load("RN50")
+        teacher_vars = mesh_lib.replicate(teacher_vars, self.mesh)
+
+        tx, _, schedule = _make_optimizers(
+            self.experiment, variables["params"], steps_per_epoch
+        )
+        mcfg = config.get("model", {})
+        train_step = kd_lib.make_kd_train_step(
+            model,
+            teacher,
+            teacher_vars,
+            tx,
+            logit_scale=float(mcfg.get("logit_scale_value", 10)),
+            logit_bias=float(mcfg.get("logit_bias_value", -10)),
+            cos_power=int(mcfg.get("cos_power", 1)) if mcfg.get("attn_unpool") else 0,
+            use_agc=config.get("use_agc", True),
+            loss_mode=config.get("siglip_loss_mode", "global"),
+            mesh=self.mesh,
+        )
+        state = steps_lib.create_train_state(variables, tx)
+
+        start_epoch = 0
+        restored, last_epoch = self.ckpt.restore(state, "last")
+        if restored is not None:
+            state, start_epoch = restored, last_epoch + 1
+            print(f"Resuming from epoch {last_epoch}")
+        state = mesh_lib.replicate(state, self.mesh)
+
+        @jax.jit
+        def val_step(params, batch_stats, images):
+            from bcosification_tpu.losses import SigLipLoss
+
+            t_feat, s_out, _ = kd_lib.kd_forward_features(
+                model,
+                teacher,
+                {"params": params, "batch_stats": batch_stats},
+                teacher_vars,
+                images,
+                train=False,
+            )
+            s = s_out / jnp.linalg.norm(s_out, axis=-1, keepdims=True)
+            t = t_feat / jnp.linalg.norm(t_feat, axis=-1, keepdims=True)
+            return SigLipLoss()(s, t, 10.0, -10.0)
+
+        for epoch in range(start_epoch, max_epochs):
+            t0 = time.time()
+            if hasattr(train_loader, "set_epoch"):
+                train_loader.set_epoch(epoch)
+            losses = []
+            for batch in train_loader:
+                batch = {"image": batch["image"]}
+                batch = mesh_lib.shard_batch(batch, self.mesh)
+                state, metrics = train_step(state, batch)
+                losses.append(metrics["loss"])
+                if fast_dev_run:
+                    break
+            train_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
+
+            val_losses, n = [], 0
+            for batch in datamodule.val_dataloader():
+                images = mesh_lib.shard_batch(
+                    {"image": batch["image"]}, self.mesh
+                )["image"]
+                val_losses.append(float(val_step(state.params, state.batch_stats, images)))
+                n += 1
+                if fast_dev_run or n >= config.get("max_val_batches", 200):
+                    break
+            val_loss = float(np.mean(val_losses)) if val_losses else float("nan")
+
+            epoch_metrics = {
+                "train_loss": train_loss,
+                "val_loss": val_loss,
+                "epoch_time_s": time.time() - t0,
+            }
+            zs = self._maybe_zeroshot(model, state, text_model, text_vars)
+            epoch_metrics.update(zs)
+            self._log_metrics(epoch, epoch_metrics)
+            self.ckpt.save(jax.device_get(state), epoch, epoch_metrics)
+            print(
+                f"epoch {epoch}: kd loss {train_loss:.4f} val {val_loss:.4f} "
+                f"({epoch_metrics['epoch_time_s']:.1f}s)"
+            )
+            if fast_dev_run:
+                break
+        return state
+
+    def _maybe_zeroshot(self, model, state, text_model, text_vars) -> Dict[str, float]:
+        """Per-epoch CLIP zeroshot (ZeroshotEval, trainer.py:1073-1087) on
+        whichever eval datasets are locally available."""
+        from bcosification_tpu import settings
+        from bcosification_tpu.data.datamodules import ClassificationDataModule
+        from bcosification_tpu.data.imagenet import imagenet_templates
+        from bcosification_tpu.data.presets import (
+            CLIPBcosImageNetClassificationPresetEval,
+        )
+        from bcosification_tpu.training import zeroshot as zs_lib
+
+        results: Dict[str, float] = {}
+        if not settings.DATA_ROOT and not settings.IMAGENET_PATH:
+            return results
+        try:
+            registry = ClassificationDataModule.registry()
+            specs = []
+            if settings.DATA_ROOT:
+                specs.append(("CIFAR10", registry["CIFAR10"]))
+            if settings.IMAGENET_PATH:
+                specs.append(("ImageNet", registry["ImageNet"]))
+            variables = {
+                "params": state.params,
+                "batch_stats": state.batch_stats,
+            }
+
+            def encode(images):
+                x6 = jnp.concatenate([images, 1.0 - images], axis=-1)
+                return model.apply(variables, x6, train=False)
+
+            for name, cls in specs:
+                dm = cls(
+                    {
+                        "batch_size": 64,
+                        "num_workers": 8,
+                        "train_transform": None,
+                        "test_transform": CLIPBcosImageNetClassificationPresetEval(
+                            crop_size=224
+                        ),
+                    }
+                )
+                dm.setup("test")
+                w = zs_lib.zeroshot_classifier(
+                    text_model, text_vars, dm.CATEGORIES, imagenet_templates
+                )
+                acc = zs_lib.zeroshot_evaluate(encode, dm.test_dataloader(), w)
+                results[f"zeroshot_{name}_acc1"] = acc["acc1"]
+        except Exception as e:  # data not present — skip silently like rank>0
+            print(f"zeroshot eval skipped: {e}")
+        return results
+
     def validate(self, eval_step, state, datamodule) -> Dict[str, float]:
         loader = datamodule.val_dataloader()
         totals: Dict[str, float] = {}
@@ -287,3 +452,4 @@ def run_training(args) -> None:
             args, "explanation_logging_every_n_epochs", 1
         ),
     )
+

@@ -1,0 +1,87 @@
+"""CLIP zero-shot classification utilities.
+
+Parity target: `ZeroshotEval` machinery in
+`/root/reference/bcos/training/trainer.py:104-355, 1073-1087`: prompt-ensembled
+zeroshot weights from the CLIP text tower (per class: embed 80 templates,
+normalise, mean, normalise), `logits = 100 * x_hat @ W`, attn-unpool
+cosine-power spatial pooling, top-1/5 accuracy. Used both by the per-epoch
+KD training callback and the CLIP_benchmark-compatible CLI.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Iterable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["zeroshot_classifier", "zeroshot_predict_logits", "zeroshot_evaluate"]
+
+
+def zeroshot_classifier(
+    text_model,
+    text_variables,
+    classnames: Sequence[str],
+    templates: Sequence[str],
+    batch_classes: int = 32,
+) -> jnp.ndarray:
+    """-> [D, n_classes] prompt-ensembled zeroshot weights (trainer.py:150-161).
+
+    Batched over classes; each class embeds len(templates) prompts in one call.
+    """
+    from bcosification_tpu.clip.tokenizer import tokenize
+
+    encode = jax.jit(lambda v, t: text_model.apply(v, t))
+    weights = []
+    for start in range(0, len(classnames), batch_classes):
+        chunk = classnames[start : start + batch_classes]
+        texts = [t.format(c) for c in chunk for t in templates]
+        tokens = jnp.asarray(tokenize(texts))
+        emb = encode(text_variables, tokens)  # [n_chunk * n_templ, D]
+        emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+        emb = emb.reshape(len(chunk), len(templates), -1).mean(axis=1)
+        emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+        weights.append(emb)
+    return jnp.concatenate(weights, axis=0).T  # [D, C]
+
+
+def zeroshot_predict_logits(
+    image_features: jnp.ndarray,
+    zeroshot_weights: jnp.ndarray,
+    cos_power: int = 0,
+) -> jnp.ndarray:
+    """logits = 100 * x_hat @ W; attn-unpool spatial features [B, HW, D] are
+    cosine-power weighted and summed over locations (trainer.py:112-121)."""
+    feats = image_features / jnp.linalg.norm(image_features, axis=-1, keepdims=True)
+    logits = 100.0 * feats @ zeroshot_weights
+    if logits.ndim == 3:  # [B, HW, C] attn-unpool
+        p = max(cos_power, 1)
+        logits = logits * jax.lax.stop_gradient(jnp.abs(logits)) ** (p - 1)
+        logits = logits.sum(axis=1)
+    return logits
+
+
+def zeroshot_evaluate(
+    image_encode: Callable[[jnp.ndarray], jnp.ndarray],
+    loader: Iterable,
+    zeroshot_weights: jnp.ndarray,
+    cos_power: int = 0,
+) -> Dict[str, float]:
+    """top-1/5 zeroshot accuracy over a loader of {'image','label'} batches
+    (trainer.py:104-132)."""
+
+    @jax.jit
+    def step(images):
+        feats = image_encode(images)
+        return zeroshot_predict_logits(feats, zeroshot_weights, cos_power)
+
+    top1 = top5 = n = 0
+    for batch in loader:
+        images = jnp.asarray(batch["image"])
+        target = np.asarray(batch["label"])
+        logits = np.asarray(step(images))
+        pred5 = np.argsort(-logits, axis=-1)[:, :5]
+        top1 += int((pred5[:, 0] == target).sum())
+        top5 += int((pred5 == target[:, None]).any(axis=1).sum())
+        n += len(target)
+    return {"acc1": top1 / max(n, 1), "acc5": top5 / max(n, 1)}

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 NORTH_STAR = 5000.0  # img/s/chip, BASELINE.json
-BATCH = int(__import__("os").getenv("BENCH_BATCH", "64"))
+BATCH = int(__import__("os").getenv("BENCH_BATCH", "128"))
 
 
 def build():

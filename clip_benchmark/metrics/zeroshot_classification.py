@@ -1,0 +1,115 @@
+"""Zero-shot classification metric.
+
+Parity target: `/root/reference/CLIP_benchmark/clip_benchmark/metrics/
+zeroshot_classification.py`: prompt-ensembled text classifier (normalise-mean-
+normalise per class, :15-63), image loop `logits = 100 * x_hat @ W` with the
+B-cos fallback (models without `encode_image` are called directly, :120-124)
+and the attn-unpool cosine_power path (:129-134); acc1/acc5 + mean-per-class
+recall (balanced accuracy), multilabel mAP (:143-181).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["zero_shot_classifier", "run_classification", "evaluate", "average_precision"]
+
+
+def zero_shot_classifier(model_bundle, classnames, templates, batch_classes: int = 16):
+    """Build [D, C] zeroshot weights with the model's text tower (or the
+    vanilla CLIP RN50 fallback for B-cos image-only models,
+    zeroshot_classification.py:54-58)."""
+    from bcosification_tpu.training.zeroshot import zeroshot_classifier as zs
+
+    text_model, text_vars = model_bundle.text_model, model_bundle.text_vars
+    return zs(text_model, text_vars, classnames, templates, batch_classes)
+
+
+def run_classification(model_bundle, classifier, loader, cosine_power: int = 0):
+    """-> (logits [N, C], targets [N])."""
+    from bcosification_tpu.training.zeroshot import zeroshot_predict_logits
+
+    encode = model_bundle.encode_image
+
+    @jax.jit
+    def step(images):
+        feats = encode(images)
+        return zeroshot_predict_logits(feats, classifier, cosine_power)
+
+    all_logits, all_targets = [], []
+    for batch in loader:
+        images, target = batch if isinstance(batch, (tuple, list)) else (
+            batch["image"],
+            batch["label"],
+        )
+        logits = np.asarray(step(jnp.asarray(images)))
+        all_logits.append(logits)
+        all_targets.append(np.asarray(target))
+    return np.concatenate(all_logits), np.concatenate(all_targets)
+
+
+def accuracy(logits: np.ndarray, target: np.ndarray, topk=(1,)) -> List[float]:
+    pred = np.argsort(-logits, axis=-1)
+    return [
+        float((pred[:, :k] == target[:, None]).any(axis=1).mean()) for k in topk
+    ]
+
+
+def mean_per_class_recall(logits: np.ndarray, target: np.ndarray) -> float:
+    pred = logits.argmax(axis=-1)
+    recalls = []
+    for c in np.unique(target):
+        mask = target == c
+        recalls.append(float((pred[mask] == c).mean()))
+    return float(np.mean(recalls))
+
+
+def average_precision(scores: np.ndarray, targets: np.ndarray) -> np.ndarray:
+    """Per-class AP for multilabel eval (VOC-style)."""
+    aps = []
+    for c in range(scores.shape[1]):
+        s, t = scores[:, c], targets[:, c]
+        order = np.argsort(-s)
+        t = t[order]
+        tp = np.cumsum(t)
+        precision = tp / (np.arange(len(t)) + 1)
+        n_pos = t.sum()
+        ap = (precision * t).sum() / max(n_pos, 1)
+        aps.append(float(ap))
+    return np.asarray(aps)
+
+
+def evaluate(
+    model_bundle,
+    loader,
+    classnames: Sequence[str],
+    templates: Sequence[str],
+    cosine_power: int = 0,
+    verbose: bool = False,
+    save_clf: Optional[str] = None,
+    load_clfs: Sequence[str] = (),
+) -> Dict[str, float]:
+    if load_clfs:
+        clfs = [np.load(p) for p in load_clfs]
+        classifier = jnp.asarray(np.mean(clfs, axis=0))
+        classifier = classifier / jnp.linalg.norm(classifier, axis=0, keepdims=True)
+    else:
+        classifier = zero_shot_classifier(model_bundle, classnames, templates)
+    if save_clf is not None:
+        np.save(save_clf, np.asarray(classifier))
+    logits, target = run_classification(
+        model_bundle, classifier, loader, cosine_power
+    )
+    if target.ndim == 2:  # multilabel
+        ap = average_precision(logits, target)
+        return {"mean_average_precision": float(ap.mean())}
+    acc1, acc5 = accuracy(logits, target, topk=(1, 5))
+    return {
+        "acc1": acc1,
+        "acc5": acc5,
+        "mean_per_class_recall": mean_per_class_recall(logits, target),
+    }

@@ -1,0 +1,146 @@
+"""Model loaders for the benchmark CLI.
+
+Parity target: `/root/reference/CLIP_benchmark/clip_benchmark/models/
+__init__.py` + `bcos_clip.py` / `bcos_clip_cc3m.py` / `standard_clip.py`:
+`load_clip(model_type, ...) -> (model_bundle, transform, tokenizer)`.
+
+The bundle interface consumed by the metrics:
+- encode_image(images jnp [B,H,W,C]) -> features
+- encode_texts(list[str]) -> np features (text tower; B-cos image-only models
+  fall back to the vanilla CLIP RN50 text tower, the reference's behaviour at
+  `metrics/zeroshot_classification.py:54-58`)
+- text_model / text_vars for prompt-ensembled classifiers
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+MODEL_TYPES = [
+    "open_clip",
+    "standard_clip",
+    "bcos_clip",
+    "bcos_clip_cc3m",
+    "text2concept_clip",
+]
+
+__all__ = ["MODEL_TYPES", "load_clip", "ModelBundle"]
+
+
+@dataclasses.dataclass
+class ModelBundle:
+    encode_image: Callable
+    text_model: Any
+    text_vars: Any
+    tokenizer: Callable
+    cosine_power: int = 0
+
+    def encode_texts(self, texts: List[str], batch: int = 256) -> np.ndarray:
+        encode = jax.jit(lambda v, t: self.text_model.apply(v, t))
+        outs = []
+        for i in range(0, len(texts), batch):
+            tokens = jnp.asarray(self.tokenizer(texts[i : i + batch]))
+            outs.append(np.asarray(encode(self.text_vars, tokens)))
+        return np.concatenate(outs)
+
+
+def _clip_eval_transform(n_px: int = 224, normalize: bool = False):
+    from bcosification_tpu.data import transforms as T
+    from bcosification_tpu.data.presets import CLIP_MEAN, CLIP_STD
+
+    trans = [T.Resize(n_px, interpolation="bicubic"), T.CenterCrop(n_px), T.ToFloatArray()]
+    if normalize:
+        trans.append(T.Normalize(CLIP_MEAN, CLIP_STD))
+    return T.Compose(trans)
+
+
+def _addinverse_transform(n_px: int = 224):
+    from bcosification_tpu.data import transforms as T
+
+    return T.Compose(
+        [T.Resize(n_px), T.CenterCrop(n_px), T.ToFloatArray(), T.AddInverse()]
+    )
+
+
+def _load_bcos_clip(model_name: str, pretrained: str, experiment_path: Optional[str],
+                    dataset_dir: str = "clip_bcosification"):
+    """models/bcos_clip.py:20-39: Experiment under
+    experiments/ImageNet/<dataset_dir>/, AddInverse transform, clip.tokenize;
+    attn-unpool variants read cosine_power from `pretrained`."""
+    from bcosification_tpu.clip.load import load as clip_load
+    from bcosification_tpu.clip.tokenizer import tokenize
+    from bcosification_tpu.experiments.utils import Experiment
+
+    dataset = "CC3M" if dataset_dir == "clip_bcosification_cc3m" else "ImageNet"
+    base_network = "clip_bcosification"
+    if experiment_path:
+        experiment = Experiment(path=experiment_path)
+    else:
+        experiment = Experiment(dataset, base_network, model_name)
+
+    try:
+        model, variables = experiment.load_trained_model("best_any")
+    except FileNotFoundError:
+        print("No trained checkpoint; using conversion-time init")
+        model, variables = experiment.get_model()
+
+    cosine_power = 0
+    if experiment.config.get("model", {}).get("attn_unpool", False):
+        try:
+            cosine_power = int(pretrained)
+        except (TypeError, ValueError):
+            cosine_power = int(experiment.config["model"].get("cos_power", 1))
+
+    # text tower fallback: vanilla CLIP RN50
+    _, _, text_model, text_vars, _, _ = clip_load("RN50")
+
+    def encode_image(images):
+        return model.apply(variables, images, train=False)
+
+    bundle = ModelBundle(encode_image, text_model, text_vars, tokenize, cosine_power)
+    return bundle, _addinverse_transform(), tokenize
+
+
+def _load_standard_clip(model_name: str, pretrained: str):
+    from bcosification_tpu.clip.load import load as clip_load
+    from bcosification_tpu.clip.tokenizer import tokenize
+
+    visual, visual_vars, text_model, text_vars, _, cfg = clip_load(
+        model_name if model_name in ("RN50", "RN101") else "RN50"
+    )
+
+    def encode_image(images):
+        return visual.apply(visual_vars, images, train=False)
+
+    bundle = ModelBundle(encode_image, text_model, text_vars, tokenize)
+    return bundle, _clip_eval_transform(cfg["image_resolution"], normalize=True), tokenize
+
+
+def load_clip(
+    model_type: str = "standard_clip",
+    model_name: str = "RN50",
+    pretrained: str = "",
+    cache_dir: Optional[str] = None,
+    device=None,
+    cosine_power: int = 1,
+    experiment_path: Optional[str] = None,
+):
+    if model_type == "bcos_clip":
+        return _load_bcos_clip(model_name, pretrained, experiment_path)
+    if model_type == "bcos_clip_cc3m":
+        return _load_bcos_clip(
+            model_name, pretrained, experiment_path, dataset_dir="clip_bcosification_cc3m"
+        )
+    if model_type == "standard_clip":
+        return _load_standard_clip(model_name, pretrained)
+    if model_type == "open_clip":
+        raise NotImplementedError(
+            "open_clip loading is not bundled in the TPU build; use "
+            "standard_clip (OpenAI checkpoints) or bcos_clip."
+        )
+    raise ValueError(f"unknown model_type {model_type!r}")
