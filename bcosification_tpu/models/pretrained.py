@@ -1,0 +1,123 @@
+"""Pretrained model entrypoint registry.
+
+Parity target: `/root/reference/bcos/models/pretrained.py`: the `register`
+decorator + `list_available` (:26-37) and the released-weights table (:44+).
+On zero-egress TPU pods, weights resolve from $BCOS_WEIGHTS_DIR/<name>.npz
+(flax param trees exported by scripts/strip_checkpoints.py) instead of
+download URLs; entrypoints return (model, variables).
+"""
+from __future__ import annotations
+
+import os
+import warnings
+from functools import partial
+from pathlib import Path
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["register", "list_available", "load_model"]
+
+_REGISTRY: Dict[str, Callable] = {}
+
+
+def register(fn=None, name: Optional[str] = None):
+    """Entrypoint registration decorator (pretrained.py:26-31)."""
+    if fn is None:
+        return partial(register, name=name)
+    _REGISTRY[name or fn.__name__] = fn
+    return fn
+
+
+def list_available() -> List[str]:
+    return sorted(_REGISTRY)
+
+
+def _load_weights_npz(name: str, variables):
+    root = os.getenv("BCOS_WEIGHTS_DIR")
+    if not root:
+        warnings.warn(
+            f"BCOS_WEIGHTS_DIR not set: '{name}' returns random init. Export "
+            "trained checkpoints with scripts/strip_checkpoints.py."
+        )
+        return variables
+    path = Path(root) / f"{name}.npz"
+    if not path.exists():
+        warnings.warn(f"No weights at {path}; random init.")
+        return variables
+    from bcosification_tpu.bcosify.torch_import import fill_variables
+
+    loaded = dict(np.load(path))
+    flat = {tuple(k.split("/")): v for k, v in loaded.items()}
+    abstract = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), variables
+    )
+    return fill_variables(abstract, flat)
+
+
+def load_model(name: str, pretrained: bool = True, **kwargs):
+    if name not in _REGISTRY:
+        raise ValueError(f"Unknown entrypoint {name!r}. Available: {list_available()}")
+    model, variables = _REGISTRY[name](**kwargs)
+    if pretrained:
+        variables = _load_weights_npz(name, variables)
+    return model, variables
+
+
+def _init(model, input_shape):
+    x0 = jnp.zeros((1, *input_shape), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x0)
+    return model, variables
+
+
+def _register_zoo():
+    from bcosification_tpu.models import convnext, densenet, resnet, vgg, vit
+
+    for name in [
+        "resnet18", "resnet34", "resnet50", "resnet101", "resnet152",
+        "resnext50_32x4d", "wide_resnet50_2",
+    ]:
+        factory = getattr(resnet, name)
+        register(
+            (lambda f: lambda **kw: _init(f(**kw), (224, 224, 6)))(factory),
+            name=name,
+        )
+    for name in ["densenet121", "densenet161", "densenet169", "densenet201"]:
+        factory = getattr(densenet, name)
+        register(
+            (lambda f: lambda **kw: _init(
+                f(with_logit_layer=True, stem_pool="avg", **kw), (224, 224, 6)
+            ))(factory),
+            name=name,
+        )
+    for name in ["vgg11", "vgg11_bnu", "vgg13", "vgg13_bnu", "vgg16", "vgg16_bnu", "vgg19", "vgg19_bnu"]:
+        factory = getattr(vgg, name)
+        register(
+            (lambda f: lambda **kw: _init(f(**kw), (224, 224, 6)))(factory),
+            name=name,
+        )
+    for name in ["convnext_atto", "convnext_tiny", "convnext_base"]:
+        factory = getattr(convnext, name)
+        register(
+            (lambda f: lambda **kw: _init(f(**kw), (224, 224, 6)))(factory),
+            name=name,
+        )
+    for name in [
+        "simple_vit_ti_patch16_224", "simple_vit_s_patch16_224",
+        "simple_vit_b_patch16_224", "simple_vit_l_patch16_224",
+        "vitc_ti_patch1_14", "vitc_s_patch1_14", "vitc_b_patch1_14",
+        "vitc_l_patch1_14",
+    ]:
+        factory = getattr(vit, name)
+        size = 224 if "patch16_224" in name else 14
+        register(
+            (lambda f, s: lambda **kw: _init(
+                f(with_logit_layer=True, **kw), (s, s, 6)
+            ))(factory, size),
+            name=name,
+        )
+
+
+_register_zoo()

@@ -1,0 +1,132 @@
+"""CLIP benchmark harness smoke tests (mirrors the upstream fork's
+`tests/test_clip_benchmark.py` dummy-dataset pattern, with a tiny synthetic
+model bundle so the metric machinery runs fast on CPU)."""
+import json
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from clip_benchmark.datasets.builder import DummyDataset, build_dataset
+from clip_benchmark.metrics import linear_probe, zeroshot_classification
+from clip_benchmark.models import ModelBundle
+
+from flax import linen as nn
+
+
+class TinyText(nn.Module):
+    dim: int = 16
+
+    @nn.compact
+    def __call__(self, tokens, *, train=False, explain=False):
+        emb = self.param("emb", nn.initializers.normal(0.1), (512, self.dim))
+        return emb[jnp.clip(tokens, 0, 511)].mean(axis=1)
+
+
+@pytest.fixture
+def bundle(rng):
+    text = TinyText()
+    tvars = text.init(jax.random.PRNGKey(0), jnp.zeros((1, 77), jnp.int32))
+    proj = jnp.asarray(rng.standard_normal((64 * 64 * 3, 16)).astype(np.float32) * 0.02)
+
+    def encode_image(images):
+        return images.reshape(images.shape[0], -1) @ proj
+
+    from bcosification_tpu.clip.tokenizer import tokenize
+
+    return ModelBundle(encode_image, text, tvars, tokenize)
+
+
+def _loader(ds, bs=16):
+    from bcosification_tpu.data.loader import DataLoader
+
+    return DataLoader(ds, bs, num_workers=2)
+
+
+def test_dummy_zeroshot(bundle):
+    ds = DummyDataset()
+    metrics = zeroshot_classification.evaluate(
+        bundle, _loader(ds), ds.classes, ds.templates
+    )
+    assert set(metrics) == {"acc1", "acc5", "mean_per_class_recall"}
+    assert 0.0 <= metrics["acc1"] <= 1.0
+    assert metrics["acc5"] >= metrics["acc1"]
+
+
+def test_dummy_linear_probe(bundle, tmp_path):
+    ds = DummyDataset(n=64)
+    metrics = linear_probe.evaluate(
+        bundle,
+        _loader(ds),
+        _loader(ds),
+        fewshot_epochs=10,
+        fewshot_lr=0.5,
+        feature_root=str(tmp_path),
+    )
+    # same train/test random features -> head should fit above chance (1/3)
+    assert metrics["lp_acc1"] > 0.4
+
+
+def test_cosine_power_unpool_logits(rng):
+    from bcosification_tpu.training.zeroshot import zeroshot_predict_logits
+
+    feats = jnp.asarray(rng.standard_normal((2, 9, 8)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((8, 4)).astype(np.float32))
+    out = zeroshot_predict_logits(feats, w, cos_power=2)
+    assert out.shape == (2, 4)
+
+    # cos_power=2 weights each location logit by |logit|
+    norm = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+    logits = 100.0 * norm @ w
+    want = (logits * jnp.abs(logits)).sum(axis=1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-4)
+
+
+def test_average_precision_perfect():
+    scores = np.array([[0.9, 0.1], [0.8, 0.2], [0.1, 0.9]])
+    targets = np.array([[1, 0], [1, 0], [0, 1]], np.float32)
+    ap = zeroshot_classification.average_precision(scores, targets)
+    np.testing.assert_allclose(ap, [1.0, 1.0])
+
+
+def test_cli_parses_reference_args(monkeypatch):
+    from clip_benchmark import cli
+
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "cli.py", "eval", "--dataset", "dummy", "--model_type", "bcos_clip",
+            "--cosine_power", "2", "--experiment_path", "/tmp/x",
+            "--task", "zeroshot_classification", "--output", "/tmp/out.json",
+        ],
+    )
+    _, args = cli.get_parser_args()
+    assert args.which == "eval"
+    assert args.cosine_power == 2
+    assert args.model_type == "bcos_clip"
+
+
+def test_build_csv(tmp_path):
+    from clip_benchmark import cli
+
+    p = tmp_path / "r.json"
+    json.dump(
+        {
+            "dataset": "dummy", "model": "RN50", "pretrained": "openai",
+            "task": "zeroshot_classification", "metrics": {"acc1": 0.5},
+            "language": "en",
+        },
+        open(p, "w"),
+    )
+
+    class A:
+        files = [str(p)]
+        output = str(tmp_path / "out.csv")
+
+    cli.main_build(A)
+    content = open(A.output).read()
+    assert "acc1" in content and "RN50 openai" in content
