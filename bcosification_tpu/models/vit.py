@@ -64,7 +64,11 @@ class PlainLinear(nn.Module):
             lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound),
             (in_features, self.features),
         )
-        out = x @ w
+        out = jnp.dot(
+            x,
+            w.astype(x.dtype),
+            precision=jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None,
+        )
         if self.use_bias:
             b = self.param(
                 "bias",

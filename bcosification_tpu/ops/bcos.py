@@ -181,6 +181,23 @@ def patch_norms_reference(
     return jnp.sqrt(s + eps)
 
 
+def _use_pallas() -> bool:
+    """Fused-kernel dispatch policy (BCOS_PALLAS=1 opt-in).
+
+    Measured end-to-end on v5e (RN50 fwd+explain, bf16, batch 128): the Pallas
+    path is ~3x SLOWER than XLA (1350 vs 4163 img/s) — its custom VJP
+    recomputes u = x@w in the backward instead of reusing XLA's saved
+    residuals, and the fp32 kernel output breaks cross-layer bf16 fusion. XLA
+    already fuses the b=2 epilogue into the conv, so the fused kernel only
+    wins in isolation, not in the whole program. Kept as an opt-in native
+    kernel (and the RDMA/quantisation scaffolding for future multi-chip
+    fusions); the production path is XLA.
+    import os
+
+    return os.getenv("BCOS_PALLAS", "0") == "1" and jax.default_backend() == "tpu"
+
+
+
 def _maybe_stop(v: jax.Array, explain: bool) -> jax.Array:
     return lax.stop_gradient(v) if explain else v
 
@@ -238,6 +255,32 @@ def bcos_conv2d(
     out_channels = w.shape[-1] // max_out
 
     wn = normed_conv_weight(w, scale) if normalize_weights else w
+
+    # fused Pallas path: 1x1/s1/p0 conv with b=2 is a B-cos matmul
+    if (
+        _use_pallas()
+        and isinstance(b, (int, float))
+        and b == 2
+        and max_out == 1
+        and groups == 1
+        and bias is None
+        and w.shape[0] == 1
+        and w.shape[1] == 1
+        and _pair(stride) == (1, 1)
+        and _pair(padding) == (0, 0)
+    ):
+        from bcosification_tpu.ops.pallas.bcos_matmul import bcos_matmul
+
+        n_, h_, w2_, c_ = x.shape
+        y = bcos_matmul(
+            x.reshape(n_ * h_ * w2_, c_),
+            wn.reshape(c_, -1).astype(x.dtype),
+            CONV_NORM_EPS,
+            False,
+            explain,
+        )
+        return y.reshape(n_, h_, w2_, -1).astype(x.dtype)
+
     out = _conv(x, wn.astype(x.dtype), stride, padding, dilation, groups)
     if bias is not None:
         out = out + jnp.reshape(bias, (1, 1, 1, -1)).astype(out.dtype)

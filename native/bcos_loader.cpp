@@ -1,0 +1,346 @@
+// Native data-loading runtime for bcosification_tpu.
+//
+// Replaces the reference stack's torch DataLoader workers + SHM/Redis caching
+// (bcos/data/datamodules.py, bcos/data/caching/) with a C++ thread pool that
+// fuses JPEG decode (libjpeg) + resize + crop + horizontal flip + the
+// AddInverse 6-channel encode into one pass writing float32 NHWC batches,
+// with no Python/GIL on the hot path. Exposed as a C API consumed via ctypes
+// (bcosification_tpu/data/native_loader.py).
+//
+// Build: make -C native   (produces libbcos_loader.so)
+
+#include <cstddef>
+#include <cstdio>
+
+#include <jpeglib.h>
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <condition_variable>
+#include <csetjmp>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <deque>
+#include <mutex>
+#include <random>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct JpegErrorMgr {
+  jpeg_error_mgr pub;
+  jmp_buf setjmp_buffer;
+};
+
+void jpeg_error_exit(j_common_ptr cinfo) {
+  auto* err = reinterpret_cast<JpegErrorMgr*>(cinfo->err);
+  longjmp(err->setjmp_buffer, 1);
+}
+
+// Decode a JPEG file into RGB8. Returns false on failure.
+bool decode_jpeg(const std::string& path, std::vector<uint8_t>* out, int* w,
+                 int* h) {
+  FILE* f = fopen(path.c_str(), "rb");
+  if (!f) return false;
+  jpeg_decompress_struct cinfo;
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  *w = cinfo.output_width;
+  *h = cinfo.output_height;
+  out->resize(size_t(*w) * *h * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = out->data() + size_t(cinfo.output_scanline) * *w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  fclose(f);
+  return true;
+}
+
+// Bilinear sample from RGB8 (align_corners=False convention, clamped).
+inline void bilinear_rgb(const uint8_t* src, int sw, int sh, float sy, float sx,
+                         float* rgb) {
+  sy = std::min(std::max(sy, 0.0f), float(sh - 1));
+  sx = std::min(std::max(sx, 0.0f), float(sw - 1));
+  int y0 = int(sy), x0 = int(sx);
+  int y1 = std::min(y0 + 1, sh - 1), x1 = std::min(x0 + 1, sw - 1);
+  float wy = sy - y0, wx = sx - x0;
+  for (int c = 0; c < 3; ++c) {
+    float a = src[(size_t(y0) * sw + x0) * 3 + c];
+    float b = src[(size_t(y0) * sw + x1) * 3 + c];
+    float d = src[(size_t(y1) * sw + x0) * 3 + c];
+    float e = src[(size_t(y1) * sw + x1) * 3 + c];
+    rgb[c] = a * (1 - wy) * (1 - wx) + b * (1 - wy) * wx + d * wy * (1 - wx) +
+             e * wy * wx;
+  }
+}
+
+struct Sample {
+  std::string path;
+  int32_t label;
+};
+
+struct Batch {
+  std::vector<float> images;  // [batch, H, W, C_out]
+  std::vector<int32_t> labels;
+  int count = 0;
+};
+
+constexpr int kModeEval = 0;   // resize shorter side to resize_size, center crop
+constexpr int kModeTrain = 1;  // random resized crop + random hflip
+
+class Loader {
+ public:
+  Loader(std::vector<Sample> samples, int out_size, int resize_size, int batch,
+         int threads, int mode, int channels_out, uint64_t seed,
+         int prefetch_batches)
+      : samples_(std::move(samples)),
+        out_size_(out_size),
+        resize_size_(resize_size),
+        batch_(batch),
+        mode_(mode),
+        channels_out_(channels_out),
+        seed_(seed),
+        max_queue_(std::max(prefetch_batches, 2)) {
+    order_.resize(samples_.size());
+    for (size_t i = 0; i < order_.size(); ++i) order_[i] = i;
+    if (mode_ == kModeTrain) shuffle_epoch(0);
+    n_batches_ = samples_.size() / batch_;
+    if (n_batches_ == 0) n_batches_ = samples_.empty() ? 0 : 1;
+    for (int t = 0; t < threads; ++t)
+      workers_.emplace_back([this, t] { work(t); });
+  }
+
+  ~Loader() {
+    {
+      std::lock_guard<std::mutex> lk(mu_);
+      stop_ = true;
+    }
+    cv_space_.notify_all();
+    cv_data_.notify_all();
+    for (auto& t : workers_) t.join();
+  }
+
+  void shuffle_epoch(int epoch) {
+    std::mt19937_64 rng(seed_ + epoch);
+    std::shuffle(order_.begin(), order_.end(), rng);
+  }
+
+  int batch_size() const { return batch_; }
+  int n_batches() const { return int(n_batches_); }
+  int out_size() const { return out_size_; }
+  int channels_out() const { return channels_out_; }
+
+  // Blocks until the next batch is ready; returns items copied (0 = epoch end).
+  int next(float* images, int32_t* labels) {
+    std::unique_lock<std::mutex> lk(mu_);
+    cv_data_.wait(lk, [this] {
+      return stop_ || !queue_.empty() || produced_ >= n_batches_;
+    });
+    if (!queue_.empty()) {
+      Batch b = std::move(queue_.front());
+      queue_.pop_front();
+      lk.unlock();
+      cv_space_.notify_one();
+      std::memcpy(images, b.images.data(), b.images.size() * sizeof(float));
+      std::memcpy(labels, b.labels.data(), b.labels.size() * sizeof(int32_t));
+      return b.count;
+    }
+    return 0;  // epoch finished
+  }
+
+  void reset(int epoch) {
+    std::unique_lock<std::mutex> lk(mu_);
+    queue_.clear();
+    next_index_ = 0;
+    produced_ = 0;
+    if (mode_ == kModeTrain) shuffle_epoch(epoch);
+    lk.unlock();
+    cv_space_.notify_all();
+  }
+
+ private:
+  void process_one(const Sample& s, std::mt19937_64& rng, float* dst) {
+    std::vector<uint8_t> rgb;
+    int w = 0, h = 0;
+    bool ok = decode_jpeg(s.path, &rgb, &w, &h);
+    const int S = out_size_;
+    if (!ok || w < 1 || h < 1) {
+      std::memset(dst, 0, size_t(S) * S * channels_out_ * sizeof(float));
+      return;
+    }
+    float y0 = 0, x0 = 0, ch = h, cw = w;  // crop box in source coords
+    bool flip = false;
+    if (mode_ == kModeTrain) {
+      // torchvision RandomResizedCrop(scale=(0.08,1), ratio=(3/4,4/3))
+      std::uniform_real_distribution<float> uscale(0.08f, 1.0f);
+      std::uniform_real_distribution<float> ulogr(std::log(3.0f / 4),
+                                                  std::log(4.0f / 3));
+      bool found = false;
+      for (int attempt = 0; attempt < 10; ++attempt) {
+        float area = float(w) * h * uscale(rng);
+        float ar = std::exp(ulogr(rng));
+        int tw = int(std::round(std::sqrt(area * ar)));
+        int th = int(std::round(std::sqrt(area / ar)));
+        if (tw > 0 && th > 0 && tw <= w && th <= h) {
+          std::uniform_int_distribution<int> ux(0, w - tw), uy(0, h - th);
+          x0 = float(ux(rng));
+          y0 = float(uy(rng));
+          cw = tw;
+          ch = th;
+          found = true;
+          break;
+        }
+      }
+      if (!found) {  // central fallback
+        float in_r = float(w) / h;
+        if (in_r < 3.0f / 4) {
+          cw = w;
+          ch = std::round(w / (3.0f / 4));
+        } else if (in_r > 4.0f / 3) {
+          ch = h;
+          cw = std::round(h * (4.0f / 3));
+        } else {
+          cw = w;
+          ch = h;
+        }
+        x0 = (w - cw) / 2;
+        y0 = (h - ch) / 2;
+      }
+      flip = std::uniform_real_distribution<float>(0, 1)(rng) < 0.5f;
+    } else {
+      // Resize shorter side to resize_size then center-crop out_size
+      float scale = float(resize_size_) / std::min(w, h);
+      float rw = w * scale, rh = h * scale;
+      // center crop box, mapped back to source coords
+      float left = (rw - S) / 2.0f, top = (rh - S) / 2.0f;
+      x0 = left / scale;
+      y0 = top / scale;
+      cw = S / scale;
+      ch = S / scale;
+    }
+    for (int oy = 0; oy < S; ++oy) {
+      for (int ox = 0; ox < S; ++ox) {
+        int sample_x = flip ? (S - 1 - ox) : ox;
+        float sy = y0 + (oy + 0.5f) * ch / S - 0.5f;
+        float sx = x0 + (sample_x + 0.5f) * cw / S - 0.5f;
+        float rgbv[3];
+        bilinear_rgb(rgb.data(), w, h, sy, sx, rgbv);
+        float* px = dst + (size_t(oy) * S + ox) * channels_out_;
+        for (int c = 0; c < 3; ++c) {
+          float v = rgbv[c] / 255.0f;
+          px[c] = v;
+          if (channels_out_ == 6) px[c + 3] = 1.0f - v;  // AddInverse
+        }
+      }
+    }
+  }
+
+  void work(int tid) {
+    std::mt19937_64 rng(seed_ * 1315423911u + tid);
+    while (true) {
+      size_t begin;
+      {
+        std::unique_lock<std::mutex> lk(mu_);
+        // produce while the queue has space AND the epoch has batches left;
+        // an exhausted epoch parks workers here until reset()
+        cv_space_.wait(lk, [this] {
+          return stop_ || (queue_.size() + inflight_ < size_t(max_queue_) &&
+                           next_index_ + batch_ <= order_.size());
+        });
+        if (stop_) return;
+        begin = next_index_;
+        next_index_ += batch_;
+        inflight_++;
+      }
+      Batch b;
+      const int S = out_size_;
+      b.images.resize(size_t(batch_) * S * S * channels_out_);
+      b.labels.resize(batch_);
+      b.count = batch_;
+      for (int i = 0; i < batch_; ++i) {
+        const Sample& s = samples_[order_[(begin + i) % order_.size()]];
+        b.labels[i] = s.label;
+        process_one(s, rng, b.images.data() + size_t(i) * S * S * channels_out_);
+      }
+      {
+        std::lock_guard<std::mutex> lk(mu_);
+        queue_.push_back(std::move(b));
+        produced_++;
+        inflight_--;
+      }
+      cv_data_.notify_one();
+    }
+  }
+
+  std::vector<Sample> samples_;
+  std::vector<size_t> order_;
+  int out_size_, resize_size_, batch_, mode_, channels_out_;
+  uint64_t seed_;
+  int max_queue_;
+  size_t n_batches_ = 0;
+
+  std::mutex mu_;
+  std::condition_variable cv_data_, cv_space_;
+  std::deque<Batch> queue_;
+  size_t next_index_ = 0;
+  size_t produced_ = 0;
+  size_t inflight_ = 0;
+  bool stop_ = false;
+  std::vector<std::thread> workers_;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* bcos_loader_create(const char** paths, const int32_t* labels, int n,
+                         int out_size, int resize_size, int batch, int threads,
+                         int mode, int channels_out, uint64_t seed,
+                         int prefetch_batches) {
+  std::vector<Sample> samples(n);
+  for (int i = 0; i < n; ++i) samples[i] = {paths[i], labels[i]};
+  return new Loader(std::move(samples), out_size, resize_size, batch, threads,
+                    mode, channels_out, seed, prefetch_batches);
+}
+
+int bcos_loader_next(void* loader, float* images, int32_t* labels) {
+  return static_cast<Loader*>(loader)->next(images, labels);
+}
+
+int bcos_loader_n_batches(void* loader) {
+  return static_cast<Loader*>(loader)->n_batches();
+}
+
+void bcos_loader_reset(void* loader, int epoch) {
+  static_cast<Loader*>(loader)->reset(epoch);
+}
+
+void bcos_loader_destroy(void* loader) { delete static_cast<Loader*>(loader); }
+
+// Standalone single-image decode+transform (for tests / eval paths).
+int bcos_decode_resize(const char* path, int out_size, int resize_size,
+                       int channels_out, float* dst) {
+  std::vector<Sample> s{{path, 0}};
+  Loader l(std::move(s), out_size, resize_size, 1, 1, kModeEval, channels_out,
+           0, 2);
+  std::vector<int32_t> lab(1);
+  return l.next(dst, lab.data());
+}
+}

@@ -1,0 +1,109 @@
+"""Model zoo shape/selfconsistency tests (small inputs for CPU speed)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bcosification_tpu.models import convnext, densenet, resnet, vgg, vit
+
+
+def _run(model, x, **kw):
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x, **kw)
+    out_e = model.apply(variables, x, explain=True, **kw)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_e), rtol=2e-3, atol=1e-5)
+    return variables, out
+
+
+def test_from_scratch_resnet(rng):
+    model = resnet.BcosResNet(
+        block="basic", layers=(1, 1), inplanes=8, num_classes=7, small_inputs=True
+    )
+    x = jnp.asarray(rng.random((2, 32, 32, 6)).astype(np.float32))
+    variables, out = _run(model, x)
+    assert out.shape == (2, 7)
+
+
+def test_resnext_grouped(rng):
+    model = resnet.BcosResNet(
+        block="bottleneck", layers=(1,), inplanes=8, num_classes=5,
+        groups=4, width_per_group=32, small_inputs=True,
+    )
+    x = jnp.asarray(rng.random((2, 16, 16, 6)).astype(np.float32))
+    _, out = _run(model, x)
+    assert out.shape == (2, 5)
+
+
+def test_densenet(rng):
+    model = densenet.BcosDenseNet(
+        growth_rate=4, block_config=(2, 2), num_init_features=8, num_classes=5,
+        small_inputs=True, with_logit_layer=True,
+    )
+    x = jnp.asarray(rng.random((2, 16, 16, 6)).astype(np.float32))
+    _, out = _run(model, x)
+    assert out.shape == (2, 5)
+
+
+def test_vgg(rng):
+    model = vgg.BcosVGG(cfg="A", num_classes=5)
+    x = jnp.asarray(rng.random((1, 64, 64, 6)).astype(np.float32))
+    _, out = _run(model, x)
+    assert out.shape == (1, 5)
+
+
+def test_convnext(rng):
+    model = convnext.BcosConvNeXt(
+        block_setting=(
+            convnext.CNBlockConfig(8, 16, 1),
+            convnext.CNBlockConfig(16, None, 1),
+        ),
+        num_classes=5,
+    )
+    x = jnp.asarray(rng.random((1, 32, 32, 6)).astype(np.float32))
+    _, out = _run(model, x)
+    assert out.shape == (1, 5)
+
+
+def test_simple_vit(rng):
+    model = vit.SimpleViT(
+        image_size=32, patch_size=8, num_classes=5, dim=32, depth=2, heads=2,
+        mlp_dim=64, with_logit_layer=True,
+    )
+    x = jnp.asarray(rng.random((2, 32, 32, 6)).astype(np.float32))
+    _, out = _run(model, x)
+    assert out.shape == (2, 5)
+
+
+def test_vit_gap_reorder_variants(rng):
+    kw = dict(image_size=32, patch_size=8, num_classes=5, dim=32, depth=1, heads=2, mlp_dim=64)
+    x = jnp.asarray(rng.random((1, 32, 32, 6)).astype(np.float32))
+    for gr in (False, True):
+        model = vit.SimpleViT(gap_reorder=gr, **kw)
+        _, out = _run(model, x)
+        assert out.shape == (1, 5)
+
+
+def test_vitc_conv_stem(rng):
+    from functools import partial
+
+    from bcosification_tpu.modules import BcosConv2d, norms
+
+    model = vit.SimpleViT(
+        image_size=16, patch_size=1, num_classes=5, dim=16, depth=1, heads=2,
+        mlp_dim=32, conv_stem=(8, 16),
+        conv2d_layer=BcosConv2d,
+        norm2d_layer=norms.NoBias(norms.DetachableGNLayerNorm2d),
+    )
+    # conv stem: first layer stride 2 (8 > 6 channels), second stride 2 -> /4
+    x = jnp.asarray(rng.random((1, 64, 64, 6)).astype(np.float32))
+    _, out = _run(model, x)
+    assert out.shape == (1, 5)
+
+
+def test_pretrained_registry():
+    from bcosification_tpu.models import pretrained
+
+    names = pretrained.list_available()
+    assert "resnet50" in names and "simple_vit_b_patch16_224" in names
+    assert "densenet121" in names and "convnext_tiny" in names and "vgg11_bnu" in names
