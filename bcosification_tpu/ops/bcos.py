@@ -190,8 +190,8 @@ def _use_pallas() -> bool:
     residuals, and the fp32 kernel output breaks cross-layer bf16 fusion. XLA
     already fuses the b=2 epilogue into the conv, so the fused kernel only
     wins in isolation, not in the whole program. Kept as an opt-in native
-    kernel (and the RDMA/quantisation scaffolding for future multi-chip
-    fusions); the production path is XLA.
+    kernel; the production path is XLA.
+    """
     import os
 
     return os.getenv("BCOS_PALLAS", "0") == "1" and jax.default_backend() == "tpu"
