@@ -194,6 +194,44 @@ class ImageNetDataModule(ClassificationDataModule):
             os.path.join(root, "val"), self.config["test_transform"]
         )
 
+    def _native(self, dataset, mode: str, seed: int = 0):
+        """Optional C++ loader (config native_loader=True): fused libjpeg
+        decode + crop/flip + AddInverse in a native thread pool — only valid
+        for the standard is_bcos presets, which it replicates in C++."""
+        from bcosification_tpu.data.native_loader import (
+            NativeImageLoader,
+            native_available,
+        )
+
+        if not (self.config.get("native_loader", False) and native_available()):
+            return None
+        paths = [p for p, _ in dataset.samples]
+        labels = [l for _, l in dataset.samples]
+        return NativeImageLoader(
+            paths,
+            labels,
+            out_size=self.config.get("crop_size", 224),
+            resize_size=self.config.get("resize_size", 256),
+            batch_size=self.batch_size,
+            num_threads=self.num_workers,
+            mode=mode,
+            seed=seed,
+        )
+
+    def train_dataloader(self, seed: int = 0):
+        native = self._native(self.train_dataset, "train", seed)
+        if native is not None:
+            return native
+        return super().train_dataloader(seed)
+
+    def val_dataloader(self):
+        native = self._native(self.eval_dataset, "eval")
+        if native is not None:
+            return native
+        return super().val_dataloader()
+
+    test_dataloader = val_dataloader
+
 
 class _CIFAR10Dataset:
     """Native CIFAR-10 python-batch reader (no torchvision)."""
