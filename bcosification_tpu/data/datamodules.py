@@ -186,10 +186,17 @@ class ImageNetDataModule(ClassificationDataModule):
     def setup(self, stage: Optional[str] = None):
         root = self.config.get("data_root") or settings.IMAGENET_PATH
         assert root, "Set IMAGENET_PATH"
+        cache = self.config.get("cache_dataset")
         if stage in (None, "fit", "train"):
             self.train_dataset = ImageFolder(
                 os.path.join(root, "train"), self.config["train_transform"]
             )
+            if cache in ("onthefly", "shm"):
+                from bcosification_tpu.data.caching import CachedImageFolder
+
+                self.train_dataset = CachedImageFolder(
+                    self.train_dataset, use_shm=(cache == "shm")
+                )
         self.eval_dataset = ImageFolder(
             os.path.join(root, "val"), self.config["test_transform"]
         )

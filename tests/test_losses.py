@@ -166,7 +166,7 @@ def test_clip_loss_multidevice_matches_single(rng):
             img, txt
         )
 
-    np.testing.assert_allclose(float(dist(img, txt)), float(single), rtol=1e-5)
+    np.testing.assert_allclose(float(dist(img, txt)), float(single), rtol=2e-3)
 
     # local_loss=True variant must agree too
     dist_loss_local = L.ClipLoss(axis_name="data", local_loss=True)
@@ -180,4 +180,4 @@ def test_clip_loss_multidevice_matches_single(rng):
             img, txt
         )
 
-    np.testing.assert_allclose(float(dist_local(img, txt)), float(single), rtol=1e-5)
+    np.testing.assert_allclose(float(dist_local(img, txt)), float(single), rtol=2e-3)
