@@ -105,11 +105,13 @@ class BcosAttentionPool2d(nn.Module):
         if explain:
             q_in = jax.lax.stop_gradient(q_in)
             k_in = jax.lax.stop_gradient(k_in)
-        q = self.linear_layer(self.embed_dim, use_bias=False, name="q_proj")(q_in, **f)
-        k = self.linear_layer(self.embed_dim, use_bias=False, name="k_proj")(k_in, **f)
-        v = self.linear_layer(self.embed_dim, use_bias=False, name="v_proj")(seq, **f)
+        # bias presence is controlled by the conversion's layer factories
+        # (use_bias=False in the production recipe, model.py:19-24)
+        q = self.linear_layer(self.embed_dim, name="q_proj")(q_in, **f)
+        k = self.linear_layer(self.embed_dim, name="k_proj")(k_in, **f)
+        v = self.linear_layer(self.embed_dim, name="v_proj")(seq, **f)
         out = _mha(q, k, v, self.num_heads)
         out = self.c_proj_layer(
-            self.output_dim or self.embed_dim, use_bias=False, name="c_proj"
+            self.output_dim or self.embed_dim, name="c_proj"
         )(out, **f)
         return out[:, 0]

@@ -179,9 +179,10 @@ def make_eval_step(model, test_criterion: Optional[Callable] = None, use_ema: bo
             {"params": params, "batch_stats": bs}, batch["image"], train=False
         )
         label = _dense_to_sparse(batch["label"])
-        top5 = jax.lax.top_k(out, 5)[1]
+        k = min(5, out.shape[-1])
+        topk = jax.lax.top_k(out, k)[1]
         correct1 = (jnp.argmax(out, -1) == label).astype(jnp.float32)
-        correct5 = jnp.any(top5 == label[:, None], axis=-1).astype(jnp.float32)
+        correct5 = jnp.any(topk == label[:, None], axis=-1).astype(jnp.float32)
         metrics = {
             "correct1": correct1.sum(),
             "correct5": correct5.sum(),

@@ -9,6 +9,12 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
+
+# XLA CPU's default matmul precision is reduced; parity tests vs torch fp32
+# need exact fp32 contractions (TPU benchmarks never run under pytest)
+jax.config.update("jax_default_matmul_precision", "highest")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
