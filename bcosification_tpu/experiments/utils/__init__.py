@@ -6,3 +6,4 @@ from bcosification_tpu.experiments.utils.config_utils import (
     update_config,
 )
 from bcosification_tpu.experiments.utils.experiment_utils import Experiment
+from bcosification_tpu.experiments.utils.metric_utils import Metrics

@@ -159,6 +159,8 @@ def make_train_step(
                     jnp.float32
                 )
             ),
+            # --track_grad_norm (trainer.py:885-910); cheap enough to always log
+            "grad_norm": optax.global_norm(grads),
         }
         return new_state, metrics
 

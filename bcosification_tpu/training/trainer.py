@@ -427,6 +427,24 @@ class Trainer:
             contribution_map=np.asarray(res["contribution_map"]),
             prediction=np.asarray(res["prediction"]),
         )
+        # render the RGBA explanation grid to PNG (the ExplanationsLogger's
+        # W&B/TB figure, explanation_logger.py:184-226, as a file artifact)
+        try:
+            from PIL import Image
+
+            expl = np.asarray(res["explanation"])  # [N,H,W,4] in [0,1]
+            n, h, w, _ = expl.shape
+            cols = min(n, 4)
+            rows = (n + cols - 1) // cols
+            grid = np.zeros((rows * h, cols * w, 4), np.float32)
+            for i in range(n):
+                r, c = divmod(i, cols)
+                grid[r * h : (r + 1) * h, c * w : (c + 1) * w] = expl[i]
+            Image.fromarray((grid * 255).astype(np.uint8), "RGBA").save(
+                outdir / f"epoch_{epoch}.png"
+            )
+        except Exception as e:
+            print(f"explanation PNG render skipped: {e}")
 
 
 def run_training(args) -> None:
