@@ -138,6 +138,17 @@ def load_clip(
         )
     if model_type == "standard_clip":
         return _load_standard_clip(model_name, pretrained)
+    if model_type == "text2concept_clip":
+        # align a (B-cos) vision model's features into CLIP space
+        bundle, transform, tok = _load_bcos_clip(model_name, pretrained, experiment_path)
+        from clip_benchmark.models.text2concept import TextToConcept
+
+        t2c = TextToConcept(bundle.encode_image)
+        bundle = ModelBundle(
+            t2c.encode_image, t2c.text_model, t2c.text_vars, tok, bundle.cosine_power
+        )
+        bundle.text2concept = t2c  # caller must fit_aligner on an alignment set
+        return bundle, transform, tok
     if model_type == "open_clip":
         raise NotImplementedError(
             "open_clip loading is not bundled in the TPU build; use "
