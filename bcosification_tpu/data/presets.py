@@ -39,6 +39,12 @@ class _PresetBase:
     def __to_config__(self):
         return dict(transform=repr(self), **getattr(self, "args", {}))
 
+    def with_args(self, **overrides):
+        """Rebuild this preset with updated constructor args (the reference's
+        transform-container `with_args`, used e.g. by the localisation
+        analyser's rescale mode, localisation.py:256-265)."""
+        return type(self)(**{**self.args, **overrides})
+
 
 class ImageNetClassificationPresetTrain(_PresetBase):
     def __init__(

@@ -70,7 +70,13 @@ class Experiment:
         return self._get_model(self.model_config)
 
     # -- data -----------------------------------------------------------------
-    def get_datamodule(self, cache_dataset: Optional[str] = None):
+    def get_datamodule(self, cache_dataset: Optional[str] = None, **data_overrides):
+        """Build the registered datamodule for this experiment's dataset.
+
+        ``data_overrides`` update the data config (e.g. ``test_transform`` for
+        the localisation analyser's rescale mode — reference
+        `localisation.py:256-265` passes data_config_overrides the same way).
+        """
         from bcosification_tpu.data.datamodules import ClassificationDataModule
 
         registry = ClassificationDataModule.registry()
@@ -78,6 +84,7 @@ class Experiment:
         cfg = dict(self.config["data"])
         if cache_dataset:
             cfg["cache_dataset"] = cache_dataset
+        cfg.update(data_overrides)
         return cls(cfg)
 
     # -- checkpoints ------------------------------------------------------------

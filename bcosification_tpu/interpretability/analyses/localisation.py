@@ -63,6 +63,7 @@ class LocalisationAnalyser(Analyser):
         conf_thresh=0.5,
         smooth=15,
         striding="none",
+        do_rescale=False,
         neg=False,
         batch_size=64,
         max_imgs=None,
@@ -149,6 +150,30 @@ class LocalisationAnalyser(Analyser):
         frac = np.where(total * flat > 0, flat / np.maximum(total, 1e-12), 0.0)
         return np.asarray([frac[i, i] for i in range(T)])
 
+    def _strided_attributions(
+        self, explainer, multi_img: np.ndarray, tgts, single_shape: int, stride: int
+    ) -> np.ndarray:
+        """Striding mode (localisation.py:282-305): unfold the multi-image
+        into overlapping single_shape x single_shape crops (zero-padded by
+        single_shape - stride on every side, like F.unfold), attribute each
+        crop for all targets, fold back with overlap-sum, crop the padding.
+        For fixed-input-size models (ViTs) this is the only way to attribute
+        a grid larger than the model's native resolution."""
+        ks = single_shape
+        pad = ks - stride
+        img = np.asarray(multi_img)[0]  # [sH, sW, C]
+        h, w, c = img.shape
+        padded = np.zeros((h + 2 * pad, w + 2 * pad, c), np.float32)
+        padded[pad : pad + h, pad : pad + w] = img
+        tgts_j = jnp.asarray(tgts)
+        acc = np.zeros((len(tgts), h + 2 * pad, w + 2 * pad), np.float64)
+        for i in range(0, h + 2 * pad - ks + 1, stride):
+            for j in range(0, w + 2 * pad - ks + 1, stride):
+                patch = jnp.asarray(padded[None, i : i + ks, j : j + ks])
+                a = np.asarray(explainer.attribute_selection(patch, tgts_j))
+                acc[:, i : i + ks, j : j + ks] += a.sum(-1)
+        return acc[:, pad : pad + h, pad : pad + w].astype(np.float32)
+
     def analysis(self) -> Dict[str, np.ndarray]:
         from bcosification_tpu.ops.pooling import avg_pool2d
 
@@ -169,10 +194,16 @@ class LocalisationAnalyser(Analyser):
             multi_img, tgts, offset = make_multi_image(
                 n_imgs, self.dataset, offset=offset, fixed_indices=fixed_indices
             )
-            atts = explainer.attribute_selection(
-                jnp.asarray(multi_img), jnp.asarray(tgts)
-            )  # [T, sH, sW, C]
-            atts = np.asarray(atts).sum(-1)  # channel sum
+            striding = str(self.config.get("striding", "none"))
+            if striding != "none":
+                atts = self._strided_attributions(
+                    explainer, multi_img, tgts, single_shape, int(striding)
+                )
+            else:
+                atts = explainer.attribute_selection(
+                    jnp.asarray(multi_img), jnp.asarray(tgts)
+                )  # [T, sH, sW, C]
+                atts = np.asarray(atts).sum(-1)  # channel sum
             if smooth:
                 a = jnp.asarray(atts)[..., None]
                 a = avg_pool2d(a, smooth, 1, (smooth - 1) // 2)

@@ -33,14 +33,25 @@ def main():
 
     experiment = Experiment(args.dataset, args.base_network, args.experiment_name)
     model, variables = experiment.load_trained_model(args.reload)
-    dm = experiment.get_datamodule()
-    dm.setup("test")
 
     runs = [(e, c) for e in args.explainers for c in args.analysis_configs]
     rank = int(os.environ.get("RANK", 0))
     world = int(os.environ.get("WORLD_SIZE", 1))
     for explainer, cfg_name in runs[rank::world]:
         cfg = loc_configs[cfg_name]
+        dm_overrides = {}
+        if cfg.get("do_rescale"):
+            # rescale mode (reference localisation.py:256-265): shrink the
+            # eval transform by the grid size so the n x n multi-image has the
+            # model's native input resolution.
+            prev = experiment.config["data"]["test_transform"]
+            n = int(cfg["n_imgs"] ** 0.5)
+            dm_overrides["test_transform"] = prev.with_args(
+                crop_size=prev.args["crop_size"] // n,
+                resize_size=prev.args.get("resize_size", 256) // n,
+            )
+        dm = experiment.get_datamodule(**dm_overrides)
+        dm.setup("test")
         save = os.path.join(
             args.save_root, args.experiment_name, cfg_name, explainer
         )

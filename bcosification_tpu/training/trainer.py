@@ -80,6 +80,11 @@ class Trainer:
             mode="min" if monitor == "val_loss" else "max",
         )
         self.metrics_history: Dict[str, list] = {}
+        from bcosification_tpu.training.loggers import setup_loggers
+
+        self.loggers = setup_loggers(self.args, self.save_dir)
+        for lg in self.loggers:
+            lg.log_hparams(self.config)
 
     def _is_clip_kd(self):
         margs = self.config.get("model", {}).get("bcosify_args", {}) or {}
@@ -100,6 +105,8 @@ class Trainer:
             if write_header:
                 f.write("epoch," + ",".join(keys) + "\n")
             f.write(f"{epoch}," + ",".join(f"{metrics[k]:.6f}" for k in keys) + "\n")
+        for lg in self.loggers:
+            lg.log_metrics(metrics, step=epoch)
 
     # -- main loop ---------------------------------------------------------------
     def fit(
@@ -223,6 +230,8 @@ class Trainer:
 
             if fast_dev_run:
                 break
+        for lg in self.loggers:
+            lg.finalize()
         return state
 
     def fit_kd(
@@ -332,6 +341,8 @@ class Trainer:
             )
             if fast_dev_run:
                 break
+        for lg in self.loggers:
+            lg.finalize()
         return state
 
     def _maybe_zeroshot(self, model, state, text_model, text_vars) -> Dict[str, float]:
@@ -443,6 +454,8 @@ class Trainer:
             Image.fromarray((grid * 255).astype(np.uint8), "RGBA").save(
                 outdir / f"epoch_{epoch}.png"
             )
+            for lg in self.loggers:
+                lg.log_image("explanations", grid, step=epoch)
         except Exception as e:
             print(f"explanation PNG render skipped: {e}")
 

@@ -237,6 +237,11 @@ def run(args):
         from clip_benchmark.metrics import zeroshot_retrieval as m
 
         metrics = m.evaluate(bundle, loader, recall_k_list=args.recall_k)
+    elif task == "captioning":
+        _, loader = make_loader(args.split)
+        from clip_benchmark.metrics import captioning as m
+
+        metrics = m.evaluate(bundle, loader, verbose=args.verbose)
     else:
         raise NotImplementedError(f"task {task}")
 

@@ -130,3 +130,56 @@ def test_build_csv(tmp_path):
     cli.main_build(A)
     content = open(A.output).read()
     assert "acc1" in content and "RN50 openai" in content
+
+
+def test_captioning_scorers_perfect_match():
+    from clip_benchmark.metrics.captioning import (
+        bleu_scores, cider_d, ptb_tokenize, rouge_l,
+    )
+
+    cands = [ptb_tokenize("A dog runs in the park."),
+             ptb_tokenize("Two cats sleep on a couch!")]
+    refs = [[c] for c in cands]
+    bleus = bleu_scores(cands, refs)
+    assert len(bleus) == 4
+    np.testing.assert_allclose(bleus, 1.0, atol=1e-9)
+    assert rouge_l(cands, refs) == pytest.approx(1.0)
+    assert cider_d(cands, refs) == pytest.approx(10.0, abs=1e-6)
+
+
+def test_captioning_scorers_ordering():
+    """A near-match must outscore a mismatch on every scorer."""
+    from clip_benchmark.metrics.captioning import bleu_scores, cider_d, rouge_l
+
+    ref = [[["a", "dog", "runs", "in", "the", "park"]],
+           [["two", "cats", "sleep", "on", "a", "couch"]]]
+    near = [["a", "dog", "runs", "in", "a", "park"],
+            ["two", "cats", "sleep", "on", "the", "couch"]]
+    far = [["quantum", "flux", "capacitor"], ["mitochondria", "powerhouse"]]
+    assert bleu_scores(near, ref)[3] > bleu_scores(far, ref)[3]
+    assert rouge_l(near, ref) > rouge_l(far, ref)
+    assert cider_d(near, ref) > cider_d(far, ref)
+
+
+def test_captioning_evaluate_with_generative_bundle():
+    from clip_benchmark.metrics import captioning
+
+    class GenBundle:
+        def generate(self, images):
+            return ["a red square"] * len(images)
+
+    data = [
+        (np.zeros((2, 4, 4, 3), np.float32),
+         [["a red square", "red block"], ["a blue circle"]]),
+    ]
+    metrics = captioning.evaluate(GenBundle(), data)
+    assert metrics["Bleu_1"] > 0.9  # first image matches its reference
+    assert np.isnan(metrics["METEOR"])
+    assert "CIDEr" in metrics and np.isfinite(metrics["CIDEr"])
+
+
+def test_captioning_requires_generate(bundle):
+    from clip_benchmark.metrics import captioning
+
+    with pytest.raises(NotImplementedError):
+        captioning.evaluate(bundle, [])

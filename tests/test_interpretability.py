@@ -84,6 +84,46 @@ def test_gradient_explainers_localise(explainer_name, tmp_path):
     np.testing.assert_allclose(metric, 1.0, atol=1e-5)
 
 
+def test_localisation_striding_mode(tmp_path):
+    """Striding (reference localisation.py:282-305): overlapping-crop
+    attribute+fold. With stride dividing the crop size, every pixel is covered
+    by the same number of crops, so the perfectly-localisable model still
+    scores 1.0; the fold must also reproduce the full-image attribution map's
+    cell structure."""
+    model = CellSumModel()
+    variables = {"params": {}}
+    ds = OneHotChannelDataset(n=16)
+    analyser = LocalisationAnalyser(
+        model,
+        variables,
+        ds,
+        save_folder=tmp_path,
+        explainer_name="IxG",
+        sample_size=1,
+        n_imgs=4,
+        smooth=0,
+        conf_thresh=None,
+        striding="4",
+        batch_size=8,
+    )
+    results = analyser.run()
+    metric = results["localisation_metric"]
+    assert len(metric) == 4
+    np.testing.assert_allclose(metric, 1.0, atol=1e-5)
+
+
+def test_localisation_config_grid_names():
+    from bcosification_tpu.interpretability.analyses.localisation_configs import (
+        configs,
+    )
+
+    # reference grid shape: 3 sizes x 2 grids x rescale x conf x 6 stridings x neg
+    assert len(configs) == 3 * 2 * 2 * 2 * 6 * 2
+    c = configs["250_3x3_rescale_noconfthresh-stride=14-neg"]
+    assert c["do_rescale"] and c["neg"] and c["striding"] == "14"
+    assert c["conf_thresh"] == 0.0 and c["n_imgs"] == 9
+
+
 def test_blackbox_explainers_run(rng):
     model = CellSumModel()
     variables = {"params": {}}
