@@ -54,6 +54,21 @@ DEFAULT_CONV_LAYER = BcosConv2d
 DEFAULT_ACT_LAYER = Identity
 
 
+def _ckpt(x):
+    """Tag an activation as a rematerialisation boundary.
+
+    An identity op unless the caller wraps the forward in
+    ``jax.checkpoint(f, policy=save_only_these_names("bcos_act"))`` — the
+    explanation path does (explain/core.py): fwd+explain on v5e is HBM-bound,
+    and with only these block activations saved, the VJP recomputes each
+    segment's conv/patch-norm/scale from the previous activation instead of
+    storing activation-sized dynamic-scale residuals (one extra HBM write +
+    read per B-cos layer otherwise)."""
+    from jax.ad_checkpoint import checkpoint_name
+
+    return checkpoint_name(x, "bcos_act")
+
+
 class BasicBlock(nn.Module):
     """resnet.py:68-134."""
 
@@ -78,7 +93,7 @@ class BasicBlock(nn.Module):
             dilation=self.dilation, groups=self.groups, name="conv1",
         )(x, **f)
         out = self.norm_layer(self.planes, name="bn1")(out, **f)
-        out = self.act_layer(name="act1")(out, **f)
+        out = _ckpt(self.act_layer(name="act1")(out, **f))
         out = self.conv_layer(self.planes, kernel_size=3, padding=1, name="conv2")(out, **f)
         out = self.norm_layer(self.planes, name="bn2")(out, **f)
         if self.stochastic_depth_prob:
@@ -92,7 +107,7 @@ class BasicBlock(nn.Module):
                 self.planes * self.expansion, name="downsample_norm"
             )(identity, **f)
         out = out + identity
-        return self.act_layer(name="act_out")(out, **f)
+        return _ckpt(self.act_layer(name="act_out")(out, **f))
 
 
 class Bottleneck(nn.Module):
@@ -117,13 +132,13 @@ class Bottleneck(nn.Module):
         identity = x
         out = self.conv_layer(width, kernel_size=1, name="conv1")(x, **f)
         out = self.norm_layer(width, name="bn1")(out, **f)
-        out = self.act_layer(name="act1")(out, **f)
+        out = _ckpt(self.act_layer(name="act1")(out, **f))
         out = self.conv_layer(
             width, kernel_size=3, stride=self.stride, padding=self.dilation,
             dilation=self.dilation, groups=self.groups, name="conv2",
         )(out, **f)
         out = self.norm_layer(width, name="bn2")(out, **f)
-        out = self.act_layer(name="act2")(out, **f)
+        out = _ckpt(self.act_layer(name="act2")(out, **f))
         out = self.conv_layer(self.planes * self.expansion, kernel_size=1, name="conv3")(
             out, **f
         )
@@ -139,7 +154,7 @@ class Bottleneck(nn.Module):
                 self.planes * self.expansion, name="downsample_norm"
             )(identity, **f)
         out = out + identity
-        return self.act_layer(name="act_out")(out, **f)
+        return _ckpt(self.act_layer(name="act_out")(out, **f))
 
 
 _BLOCKS = {"basic": (BasicBlock, 1), "bottleneck": (Bottleneck, 4)}
@@ -210,7 +225,7 @@ class BcosResNet(nn.Module):
                 self.inplanes, kernel_size=7, stride=2, padding=3, name="conv1"
             )(x, **f)
         x = self.norm_layer(self.inplanes, name="bn1")(x, **f)
-        x = self.act_layer(name="act")(x, **f)
+        x = _ckpt(self.act_layer(name="act")(x, **f))
         if not self.small_inputs and self.stem_pool is not None:
             if self.stem_pool == "avg":
                 x = pooling.avg_pool2d(x, 3, 2, 1)

@@ -202,6 +202,100 @@ def _maybe_stop(v: jax.Array, explain: bool) -> jax.Array:
     return lax.stop_gradient(v) if explain else v
 
 
+@jax.custom_vjp
+def _b2_explain_scale_mul(out: jax.Array, norm: jax.Array) -> jax.Array:
+    """b=2 explanation-mode ``(|out|/norm) * out`` whose VJP recomputes the
+    scale from the output: ``scale = sqrt(|y|/norm)`` (y = out*|out|/norm =>
+    |y|/norm = (out/norm)^2). Saves only (y, norm) as residuals.
+
+    NOTE: measured *slower* end-to-end than the plain formulation on RN50/v5e
+    (3636 vs 4120 img/s) — the custom_vjp boundary forces the pre-norm-layer
+    tensor y to materialise, defeating the conv-epilogue fusion that
+    previously folded the following BN+ReLU into the same kernel. Kept for
+    reference/tests; the production explain path uses `_b2_explain_conv`
+    (whole-layer recompute) instead.
+    """
+    return (jnp.abs(out) / norm) * out
+
+
+def _b2_explain_scale_mul_fwd(out, norm):
+    y = (jnp.abs(out) / norm) * out
+    return y, (y, norm)
+
+
+def _b2_explain_scale_mul_bwd(res, ct):
+    y, norm = res
+    scale = jnp.sqrt(jnp.abs(y) / norm)
+    return (ct * scale, jnp.zeros_like(norm))
+
+
+_b2_explain_scale_mul.defvjp(_b2_explain_scale_mul_fwd, _b2_explain_scale_mul_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _b2_explain_conv(x, wn, bias, stride, padding, dilation, groups):
+    """Whole-layer b=2 explanation-mode B-cos conv with a recompute VJP.
+
+    Value: ``y = (|out|/norm) * out`` with ``out = conv(x, wn) [+ bias]`` and
+    ``norm`` the patch norms — identical to the two-pass formulation with
+    stop_gradients (bcosconv2d.py:153-231 detach semantics).
+
+    VJP design: the naive autodiff saves the activation-sized dynamic-scale
+    tensor per layer (one extra HBM write + read each; fwd+explain on v5e is
+    HBM-bound at ~215 MB/img vs an 11 ms compute floor). Here the backward
+    saves only (x, wn, bias) — x is the layer input and is materialised
+    anyway — and *recomputes* out/norm/scale with a second conv on the MXU,
+    then applies the transposed conv to ``ct * scale``.
+
+    MEASURED (RN50 batch 128 bf16, v5e): throughput-neutral vs plain autodiff
+    (4108 vs 4137 img/s, within run noise) — the custom_vjp boundary makes
+    the pre-BN tensor materialise, spending what the dropped residual saved.
+    It does cut peak memory (no scale residuals), so it's kept as an opt-in
+    via BCOS_EXPLAIN_CONV=1 for memory-constrained batch sizes. The related
+    experiments `_b2_explain_scale_mul` (slower: 3636) and
+    save_only_these_names("bcos_act") remat (much slower: 2930) are recorded
+    in scripts/perf_probe{2,3}.py.
+
+    Gradients w.r.t. wn/bias are not needed in explanation mode (inference);
+    they are returned as zeros.
+    """
+    out = _conv(x, wn, stride, padding, dilation, groups)
+    if bias is not None:
+        out = out + jnp.reshape(bias, (1, 1, 1, -1)).astype(out.dtype)
+    norm = patch_norms(
+        x, wn.shape[:2], stride=stride, padding=padding, dilation=dilation,
+        groups=groups, out_channels=wn.shape[-1],
+    ).astype(out.dtype)
+    return (jnp.abs(out) / norm) * out
+
+
+def _b2_explain_conv_fwd(x, wn, bias, stride, padding, dilation, groups):
+    y = _b2_explain_conv(x, wn, bias, stride, padding, dilation, groups)
+    return y, (x, wn, bias)
+
+
+def _b2_explain_conv_bwd(stride, padding, dilation, groups, res, ct):
+    x, wn, bias = res
+
+    def conv_fn(xx):
+        return _conv(xx, wn, stride, padding, dilation, groups)
+
+    out, conv_vjp = jax.vjp(conv_fn, x)
+    if bias is not None:
+        out = out + jnp.reshape(bias, (1, 1, 1, -1)).astype(out.dtype)
+    norm = patch_norms(
+        x, wn.shape[:2], stride=stride, padding=padding, dilation=dilation,
+        groups=groups, out_channels=wn.shape[-1],
+    ).astype(out.dtype)
+    scale = jnp.abs(out) / norm
+    (ct_x,) = conv_vjp((ct * scale).astype(out.dtype))
+    ct_bias = None if bias is None else jnp.zeros_like(bias)
+    return ct_x, jnp.zeros_like(wn), ct_bias
+
+
+_b2_explain_conv.defvjp(_b2_explain_conv_fwd, _b2_explain_conv_bwd)
+
+
 def dynamic_scale(
     out: jax.Array,
     norm: jax.Array,
@@ -280,6 +374,25 @@ def bcos_conv2d(
             explain,
         )
         return y.reshape(n_, h_, w2_, -1).astype(x.dtype)
+
+    import os as _os
+
+    if (
+        explain
+        and isinstance(b, (int, float))
+        and b == 2
+        and max_out == 1
+        and _os.getenv("BCOS_EXPLAIN_CONV", "0") == "1"
+    ):
+        return _b2_explain_conv(
+            x,
+            wn.astype(x.dtype),
+            bias,
+            _pair(stride),
+            _pair(padding),
+            _pair(dilation),
+            groups,
+        )
 
     out = _conv(x, wn.astype(x.dtype), stride, padding, dilation, groups)
     if bias is not None:

@@ -11,6 +11,18 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon sitecustomize (PYTHONPATH=/root/.axon_site) registers the TPU
+# plugin in EVERY python process and sets jax_platforms="axon,cpu", silently
+# overriding the JAX_PLATFORMS env var — tests would then run single-device
+# on the tunnelled TPU (breaking the 8-virtual-device sharding tests and
+# wedging the one-client-at-a-time tunnel). Forcing the config here wins over
+# the sitecustomize because backends initialise lazily on first use.
+jax.config.update("jax_platforms", "cpu")
+assert jax.device_count() == 8, (
+    f"expected 8 virtual CPU devices, got {jax.device_count()} "
+    f"({jax.devices()[:2]}) — sharding tests need them"
+)
+
 # XLA CPU's default matmul precision is reduced; parity tests vs torch fp32
 # need exact fp32 contractions (TPU benchmarks never run under pytest)
 jax.config.update("jax_default_matmul_precision", "highest")

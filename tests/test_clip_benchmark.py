@@ -173,7 +173,8 @@ def test_captioning_evaluate_with_generative_bundle():
          [["a red square", "red block"], ["a blue circle"]]),
     ]
     metrics = captioning.evaluate(GenBundle(), data)
-    assert metrics["Bleu_1"] > 0.9  # first image matches its reference
+    # corpus-level: image 1 matches (3/3 unigrams), image 2 contributes 1/3
+    assert metrics["Bleu_1"] == pytest.approx(4 / 6)
     assert np.isnan(metrics["METEOR"])
     assert "CIDEr" in metrics and np.isfinite(metrics["CIDEr"])
 

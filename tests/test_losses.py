@@ -106,7 +106,9 @@ def _global_siglip_oracle(img, txt, scale, bias, local_b):
     logits = scale * img @ txt.T + bias
     b = img.shape[0]
     labels = -np.ones((b, b), np.float32) + 2 * np.eye(b, dtype=np.float32)
-    return float(-np.sum(np.log(1 / (1 + np.exp(-labels * logits)))) / local_b)
+    # -log sigmoid(z) = log(1 + exp(-z)), computed stably (the naive form
+    # overflows to inf for |logits| > ~700 and falsely fails the test)
+    return float(np.sum(np.logaddexp(0.0, -labels * logits)) / local_b)
 
 
 @pytest.mark.parametrize("bidir", [True, False])
