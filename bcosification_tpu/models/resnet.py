@@ -29,11 +29,13 @@ from flax import linen as nn
 
 from bcosification_tpu.modules import (
     BcosConv2d,
+    BcosifyConv2d,
     Identity,
     LogitLayer,
     StochasticDepth,
     norms,
 )
+from bcosification_tpu.ops.bcos import channel_sumsq
 from bcosification_tpu.ops import pooling
 
 __all__ = [
@@ -52,6 +54,14 @@ __all__ = [
 DEFAULT_NORM_LAYER = norms.NoBias(norms.DetachablePositionNorm2d)
 DEFAULT_CONV_LAYER = BcosConv2d
 DEFAULT_ACT_LAYER = Identity
+
+
+def _conv(mod, x, f, hint):
+    """Call a conv module, forwarding the channel-sumsq patch-norm hint when
+    the module supports it (B-cos convs; plain convs don't take it)."""
+    if isinstance(mod, (BcosConv2d, BcosifyConv2d)):
+        return mod(x, **f, x_sumsq=hint)
+    return mod(x, **f)
 
 
 def _ckpt(x):
@@ -85,24 +95,33 @@ class BasicBlock(nn.Module):
     stochastic_depth_prob: float = 0.0
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False, explain: bool = False):
+    def __call__(
+        self, x, *, train: bool = False, explain: bool = False, x_sumsq=None
+    ):
         f = dict(train=train, explain=explain)
         identity = x
-        out = self.conv_layer(
-            self.planes, kernel_size=3, stride=self.stride, padding=self.dilation,
-            dilation=self.dilation, groups=self.groups, name="conv1",
-        )(x, **f)
+        out = _conv(
+            self.conv_layer(
+                self.planes, kernel_size=3, stride=self.stride, padding=self.dilation,
+                dilation=self.dilation, groups=self.groups, name="conv1",
+            ), x, f, x_sumsq,
+        )
         out = self.norm_layer(self.planes, name="bn1")(out, **f)
         out = _ckpt(self.act_layer(name="act1")(out, **f))
-        out = self.conv_layer(self.planes, kernel_size=3, padding=1, name="conv2")(out, **f)
+        out = _conv(
+            self.conv_layer(self.planes, kernel_size=3, padding=1, name="conv2"),
+            out, f, channel_sumsq(out),
+        )
         out = self.norm_layer(self.planes, name="bn2")(out, **f)
         if self.stochastic_depth_prob:
             out = StochasticDepth(self.stochastic_depth_prob, "row", name="sd")(out, **f)
         if self.has_downsample:
-            identity = self.conv_layer(
-                self.planes * self.expansion, kernel_size=1, stride=self.stride,
-                name="downsample_conv",
-            )(x, **f)
+            identity = _conv(
+                self.conv_layer(
+                    self.planes * self.expansion, kernel_size=1, stride=self.stride,
+                    name="downsample_conv",
+                ), x, f, x_sumsq,
+            )
             identity = self.norm_layer(
                 self.planes * self.expansion, name="downsample_norm"
             )(identity, **f)
@@ -126,30 +145,39 @@ class Bottleneck(nn.Module):
     stochastic_depth_prob: float = 0.0
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False, explain: bool = False):
+    def __call__(
+        self, x, *, train: bool = False, explain: bool = False, x_sumsq=None
+    ):
         f = dict(train=train, explain=explain)
         width = int(self.planes * (self.base_width / 64.0)) * self.groups
         identity = x
-        out = self.conv_layer(width, kernel_size=1, name="conv1")(x, **f)
+        out = _conv(
+            self.conv_layer(width, kernel_size=1, name="conv1"), x, f, x_sumsq
+        )
         out = self.norm_layer(width, name="bn1")(out, **f)
         out = _ckpt(self.act_layer(name="act1")(out, **f))
-        out = self.conv_layer(
-            width, kernel_size=3, stride=self.stride, padding=self.dilation,
-            dilation=self.dilation, groups=self.groups, name="conv2",
-        )(out, **f)
+        out = _conv(
+            self.conv_layer(
+                width, kernel_size=3, stride=self.stride, padding=self.dilation,
+                dilation=self.dilation, groups=self.groups, name="conv2",
+            ), out, f, channel_sumsq(out),
+        )
         out = self.norm_layer(width, name="bn2")(out, **f)
         out = _ckpt(self.act_layer(name="act2")(out, **f))
-        out = self.conv_layer(self.planes * self.expansion, kernel_size=1, name="conv3")(
-            out, **f
+        out = _conv(
+            self.conv_layer(self.planes * self.expansion, kernel_size=1, name="conv3"),
+            out, f, channel_sumsq(out),
         )
         out = self.norm_layer(self.planes * self.expansion, name="bn3")(out, **f)
         if self.stochastic_depth_prob:
             out = StochasticDepth(self.stochastic_depth_prob, "row", name="sd")(out, **f)
         if self.has_downsample:
-            identity = self.conv_layer(
-                self.planes * self.expansion, kernel_size=1, stride=self.stride,
-                name="downsample_conv",
-            )(x, **f)
+            identity = _conv(
+                self.conv_layer(
+                    self.planes * self.expansion, kernel_size=1, stride=self.stride,
+                    name="downsample_conv",
+                ), x, f, x_sumsq,
+            )
             identity = self.norm_layer(
                 self.planes * self.expansion, name="downsample_norm"
             )(identity, **f)
@@ -234,6 +262,7 @@ class BcosResNet(nn.Module):
             else:
                 raise ValueError(self.stem_pool)
 
+        hint = channel_sumsq(x)
         for stage, j, planes, stride, has_ds, sd in cfgs:
             x = block_cls(
                 planes=planes,
@@ -246,11 +275,12 @@ class BcosResNet(nn.Module):
                 act_layer=self.act_layer,
                 stochastic_depth_prob=sd,
                 name=f"layer{stage + 1}_{j}",
-            )(x, **f)
+            )(x, **f, x_sumsq=hint)
+            hint = channel_sumsq(x)
 
         fc_layer = self.fc_layer or self.conv_layer
         if self.gap_reorder:
-            x = fc_layer(self.num_classes, kernel_size=1, name="fc")(x, **f)
+            x = _conv(fc_layer(self.num_classes, kernel_size=1, name="fc"), x, f, hint)
             x = pooling.global_avg_pool(x)
         else:
             x = pooling.global_avg_pool(x)

@@ -182,6 +182,7 @@ class BcosConv2d(_ConvBase):
         train: bool = False,
         explain: bool = False,
         b_override: Optional[jax.Array] = None,
+        x_sumsq: Optional[jax.Array] = None,
     ):
         return ops.bcos_conv2d(
             x,
@@ -195,6 +196,7 @@ class BcosConv2d(_ConvBase):
             normalize_weights=self.normalize_weights,
             bias=self._bias(x),
             explain=explain,
+            x_sumsq=x_sumsq if self.groups == 1 else None,
         )
 
 
@@ -324,6 +326,7 @@ class BcosifyConv2d(_ConvBase):
         train: bool = False,
         explain: bool = False,
         b_override: Optional[jax.Array] = None,
+        x_sumsq: Optional[jax.Array] = None,
     ):
         b = _resolve_b(self, b_override)
         return ops.bcos_conv2d(
@@ -338,6 +341,7 @@ class BcosifyConv2d(_ConvBase):
             normalize_weights=False,
             bias=self._bias(x),
             explain=explain,
+            x_sumsq=x_sumsq if self.groups == 1 else None,
         )
 
 

@@ -111,6 +111,20 @@ def _conv(x, w, stride, padding, dilation, groups):
     )
 
 
+def channel_sumsq(x: jax.Array) -> jax.Array:
+    """Per-pixel channel sum-of-squares hint, [N,H,W,1] fp32.
+
+    Computed right after an activation is produced so XLA can fold it into
+    the producer's fusion (one extra tiny output); downstream B-cos convs
+    build their patch norms from this hint instead of re-reading the full
+    activation. Numerically identical to what ``patch_norms`` computes
+    internally (square+sum in fp32). Measured throughput-neutral on
+    v5e/JAX 0.9 for RN50 fwd+explain (XLA was already fusing the re-read);
+    kept because it is exact, free, and makes the norm's data dependency
+    explicit for other compilers/batch shapes."""
+    return jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+
+
 def patch_norms(
     x: jax.Array,
     kernel_size: IntOrPair,
@@ -121,6 +135,7 @@ def patch_norms(
     groups: int = 1,
     out_channels: Optional[int] = None,
     eps: float = CONV_NORM_EPS,
+    x_sumsq: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Per-patch L2 norms ``||x_patch||`` of an NHWC input.
 
@@ -129,16 +144,23 @@ def patch_norms(
     single reduce_window formulation: sum x^2 over channels (per group), then a
     windowed sum with the conv's stride/padding/dilation, +eps, sqrt.
 
+    ``x_sumsq``: optional precomputed ``channel_sumsq(x)`` hint (groups==1
+    only) — avoids the second full read of ``x``.
+
     Returns [N, Ho, Wo, C_broadcast] where C_broadcast is 1 for groups==1 or
     ``out_channels`` (group norms repeated O//G times) for grouped convs.
     """
-    squares = jnp.square(x.astype(jnp.float32))
-    n, h, w_, c = squares.shape
-    if groups == 1:
-        squares = jnp.sum(squares, axis=-1, keepdims=True)
+    n, h, w_, c = x.shape
+    if x_sumsq is not None and groups == 1:
+        squares = x_sumsq.astype(jnp.float32)
+    elif groups == 1:
+        squares = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
     else:
         # channel-last: [N,H,W,C] -> [N,H,W,G,C//G] -> [N,H,W,G]
-        squares = jnp.sum(squares.reshape(n, h, w_, groups, c // groups), axis=-1)
+        squares = jnp.sum(
+            jnp.square(x.astype(jnp.float32)).reshape(n, h, w_, groups, c // groups),
+            axis=-1,
+        )
 
     kh, kw = _pair(kernel_size)
     norms = lax.reduce_window(
@@ -332,6 +354,7 @@ def bcos_conv2d(
     scale: Optional[jax.Array] = None,
     bias: Optional[jax.Array] = None,
     explain: bool = False,
+    x_sumsq: Optional[jax.Array] = None,
 ) -> jax.Array:
     """B-cos 2D convolution, NHWC/HWIO.
 
@@ -343,6 +366,7 @@ def bcos_conv2d(
 
     ``b`` may be traced (learnable-b / clamping / b_loss variants — the caller
     maps those to an effective b, see modules.BcosifyConv2d).
+    ``x_sumsq``: optional `channel_sumsq(x)` hint for the patch norms.
     """
     if max_out < 1:
         raise ValueError(f"max_out must be >= 1, got {max_out}")
@@ -414,6 +438,7 @@ def bcos_conv2d(
         dilation=dilation,
         groups=groups,
         out_channels=out_channels,
+        x_sumsq=x_sumsq,
     ).astype(out.dtype)
 
     return dynamic_scale(out, norm, b, explain=explain) * out

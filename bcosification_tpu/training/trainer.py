@@ -465,6 +465,10 @@ def run_training(args) -> None:
     train.py."""
     from bcosification_tpu.experiments.utils.experiment_utils import Experiment
 
+    if getattr(args, "base_directory", None):
+        from bcosification_tpu import settings
+
+        settings.EXPERIMENT_ROOT = args.base_directory
     experiment = Experiment(args.dataset, args.base_network, args.experiment_name)
     np.random.seed(experiment.config.get("seed", 42) or 42)
 

@@ -29,10 +29,18 @@ def get_parser():
     parser.add_argument("--weights", default=None, help="explicit .npz weights file")
     parser.add_argument("--batch_size", type=int, default=None)
     parser.add_argument("--no_cuda", action="store_true", help="parity no-op")
+    parser.add_argument(
+        "--base_directory", default=None,
+        help="root for experiment save dirs (reference evaluate.py arg)",
+    )
     return parser
 
 
 def load_model_and_config(args):
+    if getattr(args, "base_directory", None):
+        from bcosification_tpu import settings
+
+        settings.EXPERIMENT_ROOT = args.base_directory
     experiment = Experiment(args.dataset, args.base_network, args.experiment_name)
     if args.weights:
         model, variables = experiment.get_model()

@@ -37,6 +37,15 @@ def get_parser():
     parser.add_argument("--wandb_logger", action="store_true")
     parser.add_argument("--wandb_project", default=None)
     parser.add_argument("--wandb_id", default=None)
+    parser.add_argument("--wandb_name", default=None)
+    parser.add_argument(
+        "--base_directory", default="./experiments",
+        help="root for experiment save dirs (reference train.py --base_directory)",
+    )
+    parser.add_argument(
+        "--refresh_rate", type=int, default=None,
+        help="progress print refresh rate (reference: progress-bar refresh)",
+    )
     parser.add_argument("--explanation_logging", action="store_true")
     parser.add_argument("--explanation_logging_every_n_epochs", type=int, default=1)
     parser.add_argument("--fast_dev_run", action="store_true")
