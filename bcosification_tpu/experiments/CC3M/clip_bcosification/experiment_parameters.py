@@ -55,8 +55,12 @@ def update_default(new_config):
 
 
 CONFIGS = {
-    "resnet_50_clip_b2_noBias_randomResizedCrop_sigLip_CC3M_bcosification"
-    + ("_" + schDLR if schDLR == "cyclicLR" else ""): update_default(
+    # name grid mirrors the reference exactly (CC3M/clip_bcosification/
+    # experiment_parameters.py:77-104): scheduler tag before the
+    # `_sigLip_kd_CC3M_bcosification` suffix, cyclicLR only
+    "resnet_50_clip_b2_noBias_randomResizedCrop"
+    + ("_" + schDLR if schDLR == "cyclicLR" else "")
+    + "_sigLip_kd_CC3M_bcosification": update_default(
         dict(
             clip_kd=True,
             model=dict(
@@ -73,7 +77,9 @@ CONFIGS = {
     )
     for schDLR in ["cosineAnnealingLR", "cyclicLR"]
 }
-CONFIGS.update(create_configs_with_different_seeds(dict(CONFIGS), seeds=[420]))
+CONFIGS.update(
+    create_configs_with_different_seeds(dict(CONFIGS), seeds=[420, 1337])
+)
 
 if __name__ == "__main__":
     configs_cli(CONFIGS)

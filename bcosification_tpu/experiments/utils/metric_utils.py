@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Tuple
 
-__all__ = ["Metrics"]
+__all__ = ["Metrics", "MultiLabelMetrics"]
 
 
 class Metrics(dict):
@@ -40,3 +40,64 @@ class Metrics(dict):
     def last(self, name: str) -> Optional[float]:
         entries = self.get(name)
         return float(entries[-1][1]) if entries else None
+
+
+class MultiLabelMetrics:
+    """Accumulating multilabel classification metrics at a logit threshold.
+
+    Parity target: `/root/reference/bcos/experiments/utils/experiment_utils/
+    metric_utils.py:153-200` (a torchmetrics.Metric with per-element python
+    loops) — here a vectorised numpy accumulator with the same ``compute()``
+    dict (Accuracy / Precision / Recall / F-Score + confusion counts). Used
+    for VOC multilabel evaluation.
+    """
+
+    def __init__(self, num_classes: int, threshold: float):
+        self.num_classes = num_classes
+        self.threshold = threshold
+        self.reset()
+
+    def reset(self):
+        self.true_positives = 0.0
+        self.false_positives = 0.0
+        self.true_negatives = 0.0
+        self.false_negatives = 0.0
+
+    def update(self, logits, labels):
+        import numpy as np
+
+        logits = np.asarray(logits)
+        labels = np.asarray(labels)
+        pred = logits >= self.threshold
+        pos = labels == 1.0
+        self.true_positives += float(np.sum(pred & pos))
+        self.false_negatives += float(np.sum(~pred & pos))
+        self.false_positives += float(np.sum(pred & ~pos))
+        self.true_negatives += float(np.sum(~pred & ~pos))
+
+    def compute(self):
+        tp, fp = self.true_positives, self.false_positives
+        tn, fn = self.true_negatives, self.false_negatives
+        total = tp + tn + fp + fn
+        self.accuracy = (tp + tn) / total if total else 0.0
+        self.precision = tp / (tp + fp) if tp + fp else 0.0
+        self.recall = tp / (tp + fn) if tp + fn else 0.0
+        self.f_score = (2 * tp) / (2 * tp + fp + fn) if 2 * tp + fp + fn else 0.0
+        return {
+            "Accuracy": self.accuracy,
+            "Precision": self.precision,
+            "Recall": self.recall,
+            "F-Score": self.f_score,
+            "True Positives": tp,
+            "True Negatives": tn,
+            "False Positives": fp,
+            "False Negatives": fn,
+        }
+
+    def save(self, model: str, classifier_type: str, dataset: str):
+        m = self.compute()
+        with open(f"{model}_{classifier_type}_{dataset}_test_metrics.txt", "w") as f:
+            f.write(
+                f"Accuracy: {m['Accuracy']}\nPrecision: {m['Precision']}\n"
+                f"Recall: {m['Recall']}\nF-Score: {m['F-Score']}"
+            )

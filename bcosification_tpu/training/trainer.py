@@ -86,6 +86,22 @@ class Trainer:
         for lg in self.loggers:
             lg.log_hparams(self.config)
 
+    @staticmethod
+    def param_hash(tree) -> str:
+        """Short content hash of a param PyTree.
+
+        Working equivalent of the reference's `ModelUpdateHasher` debug
+        callback (referenced at trainer.py:1045 but absent from
+        bcos/training/callbacks/ — the reference's --debug path would crash);
+        used to confirm what is (or is not, e.g. a frozen teacher) updating.
+        """
+        import hashlib
+
+        h = hashlib.sha256()
+        for leaf in jax.tree_util.tree_leaves(tree):
+            h.update(np.asarray(jax.device_get(leaf)).tobytes())
+        return h.hexdigest()[:16]
+
     def _is_clip_kd(self):
         margs = self.config.get("model", {}).get("bcosify_args", {}) or {}
         return bool(margs.get("clip_kd", False))
@@ -222,6 +238,8 @@ class Trainer:
                 f"val_acc1 {val_metrics.get('val_acc1', float('nan')):.4f} "
                 f"({epoch_metrics['epoch_time_s']:.1f}s)"
             )
+            if self.args.get("debug"):
+                print(f"  params hash: {self.param_hash(state.params)}")
 
             if explanation_logging and (
                 epoch % explanation_logging_every_n_epochs == 0
@@ -339,6 +357,9 @@ class Trainer:
                 f"epoch {epoch}: kd loss {train_loss:.4f} val {val_loss:.4f} "
                 f"({epoch_metrics['epoch_time_s']:.1f}s)"
             )
+            if self.args.get("debug"):
+                # student must update, frozen teacher must not (FreezeTeacher)
+                print(f"  student params hash: {self.param_hash(state.params)}")
             if fast_dev_run:
                 break
         for lg in self.loggers:

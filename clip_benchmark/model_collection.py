@@ -20,7 +20,7 @@ model_collection = {
         "resnet_50_clip_b2_noBias_randomResizedCrop_cyclicLR_sigLip_ImageNet_bcosification,",
     ],
     "bcos_clip_cc3m": [
-        "resnet_50_clip_b2_noBias_randomResizedCrop_sigLip_CC3M_bcosification,",
+        "resnet_50_clip_b2_noBias_randomResizedCrop_sigLip_kd_CC3M_bcosification,",
     ],
 }
 

@@ -27,6 +27,8 @@ MODEL_TYPES = [
     "bcos_clip",
     "bcos_clip_cc3m",
     "text2concept_clip",
+    "ja_clip",
+    "nllb_clip",
 ]
 
 __all__ = ["MODEL_TYPES", "load_clip", "ModelBundle"]
@@ -153,5 +155,16 @@ def load_clip(
         raise NotImplementedError(
             "open_clip loading is not bundled in the TPU build; use "
             "standard_clip (OpenAI checkpoints) or bcos_clip."
+        )
+    if model_type in ("ja_clip", "nllb_clip"):
+        # reference: CLIP_benchmark/clip_benchmark/models/{japanese_clip,
+        # nllb_clip}.py — thin wrappers over the external `japanese_clip` /
+        # NLLB packages, which aren't available in this offline build; the
+        # graceful-import behaviour mirrors the reference's optional deps.
+        raise NotImplementedError(
+            f"{model_type} requires the external "
+            f"{'rinna japanese_clip' if model_type == 'ja_clip' else 'NLLB-CLIP'}"
+            " package (not bundled offline); multilingual eval is available "
+            "through standard_clip with a custom tokenizer instead."
         )
     raise ValueError(f"unknown model_type {model_type!r}")

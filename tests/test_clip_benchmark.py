@@ -184,3 +184,37 @@ def test_captioning_requires_generate(bundle):
 
     with pytest.raises(NotImplementedError):
         captioning.evaluate(bundle, [])
+
+
+def test_gated_model_types_informative():
+    from clip_benchmark.models import MODEL_TYPES, load_clip
+
+    assert "ja_clip" in MODEL_TYPES and "nllb_clip" in MODEL_TYPES
+    for mt in ("ja_clip", "nllb_clip"):
+        with pytest.raises(NotImplementedError, match="external"):
+            load_clip(model_type=mt, model_name="x", pretrained="y")
+
+
+def test_multilabel_metrics_counts():
+    from bcosification_tpu.experiments.utils.metric_utils import MultiLabelMetrics
+
+    m = MultiLabelMetrics(3, 0.0)
+    m.update(np.array([[1.0, -1.0, 2.0], [-1.0, 1.0, -2.0]]),
+             np.array([[1, 0, 0], [0, 1, 0]]))
+    r = m.compute()
+    assert (r["True Positives"], r["False Positives"],
+            r["True Negatives"], r["False Negatives"]) == (2, 1, 3, 0)
+    assert r["Recall"] == 1.0 and r["F-Score"] == pytest.approx(0.8)
+
+
+def test_cc3m_config_names_match_reference_pattern():
+    from bcosification_tpu.experiments.utils.config_utils import (
+        get_configs_and_model_factory,
+    )
+
+    c, _ = get_configs_and_model_factory("CC3M", "clip_bcosification")
+    assert "resnet_50_clip_b2_noBias_randomResizedCrop_sigLip_kd_CC3M_bcosification" in c
+    assert (
+        "resnet_50_clip_b2_noBias_randomResizedCrop_cyclicLR_sigLip_kd_CC3M_bcosification"
+        in c
+    )
