@@ -32,6 +32,7 @@ from bcosification_tpu.modules import (
     BcosifyConv2d,
     Identity,
     LogitLayer,
+    ReLU,
     StochasticDepth,
     norms,
 )
@@ -62,6 +63,33 @@ def _conv(mod, x, f, hint):
     if isinstance(mod, (BcosConv2d, BcosifyConv2d)):
         return mod(x, **f, x_sumsq=hint)
     return mod(x, **f)
+
+
+def _conv_bn_act(conv_mod, norm_mod, act_mod, x, f, hint):
+    """conv -> norm -> act, folded into one fused op call when possible.
+
+    Under BCOS_FUSED=1 (eval/explain only), uncentered-BN eval is a
+    per-channel affine, so the norm's (mult, add) fold into the B-cos conv's
+    epilogue (ops/pallas/bcos_conv1x1.py: Pallas kernel on TPU, equivalent
+    jnp otherwise) — one HBM pass instead of three. Parameters/variables are
+    declared through the same module scopes either way, so checkpoints and
+    param paths are identical. ``act_mod=None`` means no activation.
+    """
+    from bcosification_tpu.ops.pallas.bcos_conv1x1 import fusion_requested
+
+    relu = isinstance(act_mod, ReLU)
+    if (
+        fusion_requested()
+        and not f["train"]
+        and isinstance(conv_mod, (BcosConv2d, BcosifyConv2d))
+        and isinstance(norm_mod, norms._RunningVarNorm)
+        and (act_mod is None or relu or isinstance(act_mod, Identity))
+    ):
+        mult, add = norm_mod(None, return_affine=True)
+        return conv_mod(x, **f, x_sumsq=hint, epilogue=(mult, add, relu))
+    out = _conv(conv_mod, x, f, hint)
+    out = norm_mod(out, **f)
+    return out if act_mod is None else act_mod(out, **f)
 
 
 def _ckpt(x):
@@ -100,31 +128,33 @@ class BasicBlock(nn.Module):
     ):
         f = dict(train=train, explain=explain)
         identity = x
-        out = _conv(
+        out = _ckpt(_conv_bn_act(
             self.conv_layer(
                 self.planes, kernel_size=3, stride=self.stride, padding=self.dilation,
                 dilation=self.dilation, groups=self.groups, name="conv1",
-            ), x, f, x_sumsq,
-        )
-        out = self.norm_layer(self.planes, name="bn1")(out, **f)
-        out = _ckpt(self.act_layer(name="act1")(out, **f))
-        out = _conv(
+            ),
+            self.norm_layer(self.planes, name="bn1"),
+            self.act_layer(name="act1"),
+            x, f, x_sumsq,
+        ))
+        out = _conv_bn_act(
             self.conv_layer(self.planes, kernel_size=3, padding=1, name="conv2"),
+            self.norm_layer(self.planes, name="bn2"),
+            None,
             out, f, channel_sumsq(out),
         )
-        out = self.norm_layer(self.planes, name="bn2")(out, **f)
         if self.stochastic_depth_prob:
             out = StochasticDepth(self.stochastic_depth_prob, "row", name="sd")(out, **f)
         if self.has_downsample:
-            identity = _conv(
+            identity = _conv_bn_act(
                 self.conv_layer(
                     self.planes * self.expansion, kernel_size=1, stride=self.stride,
                     name="downsample_conv",
-                ), x, f, x_sumsq,
+                ),
+                self.norm_layer(self.planes * self.expansion, name="downsample_norm"),
+                None,
+                x, f, x_sumsq,
             )
-            identity = self.norm_layer(
-                self.planes * self.expansion, name="downsample_norm"
-            )(identity, **f)
         out = out + identity
         return _ckpt(self.act_layer(name="act_out")(out, **f))
 
@@ -151,36 +181,39 @@ class Bottleneck(nn.Module):
         f = dict(train=train, explain=explain)
         width = int(self.planes * (self.base_width / 64.0)) * self.groups
         identity = x
-        out = _conv(
-            self.conv_layer(width, kernel_size=1, name="conv1"), x, f, x_sumsq
-        )
-        out = self.norm_layer(width, name="bn1")(out, **f)
-        out = _ckpt(self.act_layer(name="act1")(out, **f))
-        out = _conv(
+        out = _ckpt(_conv_bn_act(
+            self.conv_layer(width, kernel_size=1, name="conv1"),
+            self.norm_layer(width, name="bn1"),
+            self.act_layer(name="act1"),
+            x, f, x_sumsq,
+        ))
+        out = _ckpt(_conv_bn_act(
             self.conv_layer(
                 width, kernel_size=3, stride=self.stride, padding=self.dilation,
                 dilation=self.dilation, groups=self.groups, name="conv2",
-            ), out, f, channel_sumsq(out),
-        )
-        out = self.norm_layer(width, name="bn2")(out, **f)
-        out = _ckpt(self.act_layer(name="act2")(out, **f))
-        out = _conv(
+            ),
+            self.norm_layer(width, name="bn2"),
+            self.act_layer(name="act2"),
+            out, f, channel_sumsq(out),
+        ))
+        out = _conv_bn_act(
             self.conv_layer(self.planes * self.expansion, kernel_size=1, name="conv3"),
+            self.norm_layer(self.planes * self.expansion, name="bn3"),
+            None,
             out, f, channel_sumsq(out),
         )
-        out = self.norm_layer(self.planes * self.expansion, name="bn3")(out, **f)
         if self.stochastic_depth_prob:
             out = StochasticDepth(self.stochastic_depth_prob, "row", name="sd")(out, **f)
         if self.has_downsample:
-            identity = _conv(
+            identity = _conv_bn_act(
                 self.conv_layer(
                     self.planes * self.expansion, kernel_size=1, stride=self.stride,
                     name="downsample_conv",
-                ), x, f, x_sumsq,
+                ),
+                self.norm_layer(self.planes * self.expansion, name="downsample_norm"),
+                None,
+                x, f, x_sumsq,
             )
-            identity = self.norm_layer(
-                self.planes * self.expansion, name="downsample_norm"
-            )(identity, **f)
         out = out + identity
         return _ckpt(self.act_layer(name="act_out")(out, **f))
 

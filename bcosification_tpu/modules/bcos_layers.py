@@ -164,6 +164,54 @@ class NormedLinear(nn.Module):
         )
 
 
+
+
+def _fused_1x1_ok(mod, b) -> bool:
+    """Shape/config gate for the fused 1x1 conv+BN+act path."""
+    kh, kw = ops._pair(mod.kernel_size)
+    return (
+        isinstance(b, (int, float)) and b == 2
+        and (kh, kw) == (1, 1)
+        and ops._pair(mod.stride) == (1, 1)
+        and ops._pair(mod.padding) == (0, 0)
+        and ops._pair(mod.dilation) == (1, 1)
+        and mod.groups == 1
+        and mod.max_out == 1
+    )
+
+
+def _epilogue_result(mod, x, w_hwio, bias, b, explain, x_sumsq, epilogue):
+    """Run the conv with a folded norm/act epilogue.
+
+    ``epilogue=(mult, add, relu)`` comes from a norm module's
+    ``return_affine=True`` hook. Fusable 1x1 shapes go through
+    ops.pallas.bcos_conv1x1 (Pallas on TPU under BCOS_FUSED=1, jnp
+    otherwise); anything else computes the plain B-cos conv and applies the
+    affine/ReLU explicitly — identical semantics either way.
+    """
+    from bcosification_tpu.ops.pallas.bcos_conv1x1 import bcos_conv1x1_bn_act
+
+    mult, add, relu = epilogue
+    if _fused_1x1_ok(mod, b):
+        w2 = w_hwio.reshape(w_hwio.shape[2], w_hwio.shape[3])
+        return bcos_conv1x1_bn_act(
+            x, w2, bias, mult, add, relu=relu, explain=explain,
+            x_sumsq=x_sumsq if mod.groups == 1 else None,
+        )
+    out = ops.bcos_conv2d(
+        x, w_hwio, b=b, stride=mod.stride, padding=mod.padding,
+        dilation=mod.dilation, groups=mod.groups, max_out=mod.max_out,
+        normalize_weights=False, bias=bias, explain=explain,
+        x_sumsq=x_sumsq if mod.groups == 1 else None,
+    )
+    out = out * jnp.reshape(mult, (1, 1, 1, -1)).astype(out.dtype)
+    if add is not None:
+        out = out + jnp.reshape(add, (1, 1, 1, -1)).astype(out.dtype)
+    if relu:
+        out = jnp.maximum(out, 0)
+    return out
+
+
 class BcosConv2d(_ConvBase):
     """The B-cos conv (bcosconv2d.py:43-262): unit-norm weights, output scaled
     by |cos(x, w_hat)|^(b-1)."""
@@ -183,11 +231,20 @@ class BcosConv2d(_ConvBase):
         explain: bool = False,
         b_override: Optional[jax.Array] = None,
         x_sumsq: Optional[jax.Array] = None,
+        epilogue=None,
     ):
+        b = self._effective_b(b_override)
+        if epilogue is not None:
+            w = self._weight(x)
+            if self.normalize_weights:
+                w = ops.normed_conv_weight(w)
+            return _epilogue_result(
+                self, x, w, self._bias(x), b, explain, x_sumsq, epilogue
+            )
         return ops.bcos_conv2d(
             x,
             self._weight(x),
-            b=self._effective_b(b_override),
+            b=b,
             stride=self.stride,
             padding=self.padding,
             dilation=self.dilation,
@@ -327,8 +384,14 @@ class BcosifyConv2d(_ConvBase):
         explain: bool = False,
         b_override: Optional[jax.Array] = None,
         x_sumsq: Optional[jax.Array] = None,
+        epilogue=None,
     ):
         b = _resolve_b(self, b_override)
+        if epilogue is not None:
+            return _epilogue_result(
+                self, x, self._weight(x), self._bias(x), b, explain, x_sumsq,
+                epilogue,
+            )
         return ops.bcos_conv2d(
             x,
             self._weight(x),

@@ -84,9 +84,46 @@ class _RunningVarNorm(nn.Module):
         raise NotImplementedError
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False, explain: bool = False):
-        assert x.ndim == 4, f"expected NHWC input, got ndim={x.ndim}"
+    def __call__(
+        self,
+        x,
+        *,
+        train: bool = False,
+        explain: bool = False,
+        return_affine: bool = False,
+    ):
+        """``return_affine=True`` (eval only): instead of normalising ``x``,
+        return the equivalent per-channel ``(mult, add)`` = (weight/std,
+        bias) so a caller can fold this norm into a fused conv epilogue
+        (ops/pallas/bcos_conv1x1.py) — parameters/variables are declared
+        identically, so checkpoints are unaffected. ``x`` is ignored and may
+        be None."""
+        assert return_affine or x.ndim == 4, f"expected NHWC input, got {x}"
         stat_shape = self._stat_shape()
+        if return_affine:
+            assert not train, "return_affine is an eval-only fusion hook"
+            rv = self.variable(
+                "batch_stats", "running_var",
+                lambda: jnp.ones(stat_shape, jnp.float32),
+            )
+            self.variable(
+                "batch_stats", "num_batches_tracked",
+                lambda: jnp.zeros((), jnp.int32),
+            )
+            std = jnp.sqrt(rv.value + self.eps)
+            mult = 1.0 / std
+            add = None
+            if self.affine and self.use_weight:
+                mult = mult * self.param(
+                    "weight", nn.initializers.ones, stat_shape, jnp.float32
+                )
+            if self.affine and self.use_bias:
+                add = self.param(
+                    "bias", nn.initializers.zeros, stat_shape, jnp.float32
+                )
+            return jnp.reshape(mult, (-1,)), (
+                None if add is None else jnp.reshape(add, (-1,))
+            )
         running_var = self.variable(
             "batch_stats", "running_var", lambda: jnp.ones(stat_shape, jnp.float32)
         )
