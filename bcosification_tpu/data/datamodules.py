@@ -24,6 +24,9 @@ import numpy as np
 from bcosification_tpu import settings
 from bcosification_tpu.data import transforms as T
 from bcosification_tpu.data.categories import (
+    CIFAR100_CATEGORIES,
+    FASHION_MNIST_CATEGORIES,
+    STL10_CATEGORIES,
     CIFAR10_CATEGORIES,
     IMAGENET_CATEGORIES,
     VOC_CATEGORIES,
@@ -284,6 +287,139 @@ class CIFAR10DataModule(ClassificationDataModule):
                 root, True, self.config["train_transform"]
             )
         self.eval_dataset = _CIFAR10Dataset(root, False, self.config["test_transform"])
+
+
+
+
+class _CIFAR100Dataset:
+    """Native CIFAR-100 python-pickle reader (fine labels)."""
+
+    def __init__(self, root: str, train: bool, transform=None):
+        base = Path(root) / "cifar-100-python"
+        with open(base / ("train" if train else "test"), "rb") as fh:
+            d = pickle.load(fh, encoding="bytes")
+        self.data = (
+            np.asarray(d[b"data"]).reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+        )
+        self.targets = np.asarray(d[b"fine_labels"], np.int32)
+        self.transform = transform
+
+    def __len__(self):
+        return len(self.data)
+
+    def __getitem__(self, i):
+        img = self.data[i]
+        if self.transform is not None:
+            img = self.transform(img)
+        return np.asarray(img, np.float32), self.targets[i]
+
+
+class CIFAR100DataModule(ClassificationDataModule):
+    NUM_CLASSES = 100
+    NUM_TRAIN_EXAMPLES = 50_000
+    NUM_EVAL_EXAMPLES = 10_000
+    CATEGORIES = CIFAR100_CATEGORIES
+
+    def setup(self, stage: Optional[str] = None):
+        root = self.config.get("data_root") or settings.DATA_ROOT
+        assert root, "Set DATA_ROOT"
+        if stage in (None, "fit", "train"):
+            self.train_dataset = _CIFAR100Dataset(
+                root, True, self.config["train_transform"]
+            )
+        self.eval_dataset = _CIFAR100Dataset(root, False, self.config["test_transform"])
+
+
+class _FashionMNISTDataset:
+    """Native FashionMNIST idx-ubyte reader (gz or raw); greyscale replicated
+    to 3 channels so the CLIP transform pipeline applies unchanged."""
+
+    def __init__(self, root: str, train: bool, transform=None):
+        import gzip as _gzip
+
+        base = Path(root) / "FashionMNIST" / "raw"
+        prefix = "train" if train else "t10k"
+
+        def read(name):
+            gz = base / f"{name}.gz"
+            raw = base / name
+            if gz.exists():
+                with _gzip.open(gz, "rb") as fh:
+                    return fh.read()
+            return raw.read_bytes()
+
+        imgs = read(f"{prefix}-images-idx3-ubyte")
+        lbls = read(f"{prefix}-labels-idx1-ubyte")
+        n = int.from_bytes(imgs[4:8], "big")
+        self.data = np.frombuffer(imgs, np.uint8, offset=16).reshape(n, 28, 28)
+        self.targets = np.frombuffer(lbls, np.uint8, offset=8).astype(np.int32)
+        self.transform = transform
+
+    def __len__(self):
+        return len(self.data)
+
+    def __getitem__(self, i):
+        img = np.repeat(self.data[i][..., None], 3, axis=-1)
+        if self.transform is not None:
+            img = self.transform(img)
+        return np.asarray(img, np.float32), self.targets[i]
+
+
+class FashionMNISTDataModule(ClassificationDataModule):
+    NUM_CLASSES = 10
+    NUM_TRAIN_EXAMPLES = 60_000
+    NUM_EVAL_EXAMPLES = 10_000
+    CATEGORIES = FASHION_MNIST_CATEGORIES
+
+    def setup(self, stage: Optional[str] = None):
+        root = self.config.get("data_root") or settings.DATA_ROOT
+        assert root, "Set DATA_ROOT"
+        if stage in (None, "fit", "train"):
+            self.train_dataset = _FashionMNISTDataset(
+                root, True, self.config["train_transform"]
+            )
+        self.eval_dataset = _FashionMNISTDataset(
+            root, False, self.config["test_transform"]
+        )
+
+
+class _STL10Dataset:
+    """Native STL-10 binary reader (uint8 [N,3,96,96] column-major planes)."""
+
+    def __init__(self, root: str, train: bool, transform=None):
+        base = Path(root) / "stl10_binary"
+        split = "train" if train else "test"
+        x = np.fromfile(base / f"{split}_X.bin", np.uint8)
+        # stored as [N, C, W, H] column-major within each image
+        self.data = x.reshape(-1, 3, 96, 96).transpose(0, 3, 2, 1)  # -> NHWC
+        y = np.fromfile(base / f"{split}_y.bin", np.uint8)
+        self.targets = (y.astype(np.int32) - 1)  # labels are 1..10
+        self.transform = transform
+
+    def __len__(self):
+        return len(self.data)
+
+    def __getitem__(self, i):
+        img = self.data[i]
+        if self.transform is not None:
+            img = self.transform(img)
+        return np.asarray(img, np.float32), self.targets[i]
+
+
+class STL10DataModule(ClassificationDataModule):
+    NUM_CLASSES = 10
+    NUM_TRAIN_EXAMPLES = 5_000
+    NUM_EVAL_EXAMPLES = 8_000
+    CATEGORIES = STL10_CATEGORIES
+
+    def setup(self, stage: Optional[str] = None):
+        root = self.config.get("data_root") or settings.DATA_ROOT
+        assert root, "Set DATA_ROOT"
+        if stage in (None, "fit", "train"):
+            self.train_dataset = _STL10Dataset(
+                root, True, self.config["train_transform"]
+            )
+        self.eval_dataset = _STL10Dataset(root, False, self.config["test_transform"])
 
 
 class _VOCDataset:

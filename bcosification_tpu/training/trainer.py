@@ -384,7 +384,21 @@ class Trainer:
             registry = ClassificationDataModule.registry()
             specs = []
             if settings.DATA_ROOT:
-                specs.append(("CIFAR10", registry["CIFAR10"]))
+                # ZeroshotEval suite (trainer.py:1073-1087): CIFAR-10/100,
+                # FashionMNIST, STL-10 — whichever are present under DATA_ROOT
+                import os as _os
+
+                candidates = [
+                    ("CIFAR10", "cifar-10-batches-py"),
+                    ("CIFAR100", "cifar-100-python"),
+                    ("FashionMNIST", "FashionMNIST"),
+                    ("STL10", "stl10_binary"),
+                ]
+                for name, subdir in candidates:
+                    if name in registry and _os.path.isdir(
+                        _os.path.join(settings.DATA_ROOT, subdir)
+                    ):
+                        specs.append((name, registry[name]))
             if settings.IMAGENET_PATH:
                 specs.append(("ImageNet", registry["ImageNet"]))
             variables = {

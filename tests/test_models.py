@@ -107,3 +107,62 @@ def test_pretrained_registry():
     names = pretrained.list_available()
     assert "resnet50" in names and "simple_vit_b_patch16_224" in names
     assert "densenet121" in names and "convnext_tiny" in names and "vgg11_bnu" in names
+
+
+def test_zeroshot_eval_datamodules(tmp_path):
+    """CIFAR100/FashionMNIST/STL10 native readers (ZeroshotEval suite,
+    reference trainer.py:164-355) round-trip synthetic files."""
+    import gzip
+    import pickle
+
+    import numpy as np
+
+    from bcosification_tpu.data.datamodules import ClassificationDataModule
+
+    registry = ClassificationDataModule.registry()
+    assert {"CIFAR100", "FashionMNIST", "STL10"} <= set(registry)
+    rng = np.random.default_rng(0)
+
+    # CIFAR-100
+    c100 = tmp_path / "cifar-100-python"
+    c100.mkdir()
+    for split, n in (("train", 8), ("test", 4)):
+        data = rng.integers(0, 255, (n, 3 * 32 * 32), dtype=np.uint8)
+        with open(c100 / split, "wb") as f:
+            pickle.dump(
+                {b"data": data, b"fine_labels": list(range(n))}, f
+            )
+
+    # FashionMNIST idx gz
+    fm = tmp_path / "FashionMNIST" / "raw"
+    fm.mkdir(parents=True)
+    for prefix, n in (("train", 6), ("t10k", 3)):
+        imgs = rng.integers(0, 255, (n, 28, 28), dtype=np.uint8)
+        header = (2051).to_bytes(4, "big") + n.to_bytes(4, "big") + (28).to_bytes(4, "big") * 2
+        with gzip.open(fm / f"{prefix}-images-idx3-ubyte.gz", "wb") as f:
+            f.write(header + imgs.tobytes())
+        lbl_header = (2049).to_bytes(4, "big") + n.to_bytes(4, "big")
+        with gzip.open(fm / f"{prefix}-labels-idx1-ubyte.gz", "wb") as f:
+            f.write(lbl_header + bytes(range(n)))
+
+    # STL-10 binary
+    stl = tmp_path / "stl10_binary"
+    stl.mkdir()
+    for split, n in (("train", 5), ("test", 2)):
+        rng.integers(0, 255, (n, 3, 96, 96), dtype=np.uint8).tofile(
+            stl / f"{split}_X.bin"
+        )
+        (np.arange(n, dtype=np.uint8) % 10 + 1).tofile(stl / f"{split}_y.bin")
+
+    ident = lambda im: np.asarray(im, np.float32) / 255.0
+    for name, n_eval, hw in (("CIFAR100", 4, 32), ("FashionMNIST", 3, 28), ("STL10", 2, 96)):
+        dm = registry[name](
+            dict(batch_size=2, data_root=str(tmp_path),
+                 train_transform=ident, test_transform=ident)
+        )
+        dm.setup("test")
+        assert len(dm.eval_dataset) == n_eval
+        img, tgt = dm.eval_dataset[0]
+        assert img.shape == (hw, hw, 3) and img.dtype == np.float32
+        assert 0 <= int(tgt) < dm.NUM_CLASSES
+        assert len(dm.CATEGORIES) == dm.NUM_CLASSES
