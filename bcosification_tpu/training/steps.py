@@ -84,6 +84,7 @@ def make_train_step(
     ema_steps: int = 32,
     b_schedule: Optional[Callable] = None,
     donate: bool = True,
+    amp: bool = False,
 ):
     """Build the jitted train step.
 
@@ -94,15 +95,23 @@ def make_train_step(
     - b_schedule(step) -> b value: overwrites learnable-b leaves (interpolated
       b variant); b grads are then ignored.
     - b_tx: auxiliary optimizer over the b leaves (manual-optim variant).
+    - amp: bf16 activations/compute with fp32 params + optimizer state — the
+      TPU-native mixed precision (reference --amp -> PL precision=16,
+      trainer.py:929-930); our ops cast weights to the activation dtype and
+      keep fp32 islands for norms/accumulation.
     """
 
     def loss_fn(params, batch_stats, batch):
+        image = batch["image"]
+        if amp:
+            image = image.astype(jnp.bfloat16)
         out, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
-            batch["image"],
+            image,
             train=True,
             mutable=["batch_stats"],
         )
+        out = out.astype(jnp.float32)
         loss = criterion(out, batch["label"])
         return loss, (out, mutated.get("batch_stats", {}))
 

@@ -183,6 +183,7 @@ class Trainer:
             ema_decay=ema_decay,
             ema_steps=ema_steps,
             b_schedule=b_schedule,
+            amp=bool(self.args.get("amp", False)),
         )
         eval_step = steps_lib.make_eval_step(model, config.get("test_criterion"))
         eval_step_ema = (

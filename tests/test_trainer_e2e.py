@@ -134,3 +134,24 @@ def test_eval_deterministic(tmp_path):
     a = np.asarray(fwd(variables, x))
     b = np.asarray(fwd(variables, x))
     np.testing.assert_array_equal(a, b)
+
+
+def test_trainer_amp_bf16(tmp_path):
+    """--amp (reference: PL precision=16) = bf16 activations, fp32 params;
+    training still converges on the synthetic task."""
+    model = TinyNet()
+    dm = SynthDataModule()
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(dm.images[:1]), train=True
+    )
+    exp = _fake_experiment(tmp_path)
+    trainer = Trainer(exp, args={"amp": True})
+    state = trainer.fit(model, variables, dm, max_epochs=2)
+    leaves = jax.tree_util.tree_leaves(state.params)
+    assert all(l.dtype == jnp.float32 for l in leaves)  # master weights fp32
+    import gzip
+    import json
+
+    with gzip.open(exp.save_dir / "metrics" / "metrics.json.gz", "rt") as f:
+        hist = json.load(f)
+    assert hist["val_acc1"][-1][1] > 0.3
