@@ -25,7 +25,7 @@ from bcosification_tpu.bcosify.torch_import import FlatParams, _bn_entries, _np,
 from bcosification_tpu.clip import model as clip_model
 from bcosification_tpu.models.bcosify_net import BcosifyNetwork, normalization_for
 from bcosification_tpu.models.vit import PlainLinear
-from bcosification_tpu.modules import BcosifyLinear
+from bcosification_tpu.modules import BcosifyConv2d, BcosifyLinear
 
 __all__ = [
     "clip_text_to_variables",
@@ -34,6 +34,7 @@ __all__ = [
     "build_clip_text",
     "build_clip_teacher_visual",
     "build_bcosified_clip_visual",
+    "build_bcosified_clip_vit_visual",
 ]
 
 
@@ -175,21 +176,32 @@ def build_clip_text(sd: Optional[Mapping[str, Any]] = None, cfg: Optional[dict] 
 
 def build_clip_teacher_visual(sd: Optional[Mapping[str, Any]] = None, cfg: Optional[dict] = None):
     cfg = cfg or (clip_model.config_from_state_dict(sd) if sd else clip_model.clip_rn50_config())
-    assert isinstance(cfg["vision_layers"], (tuple, list)), "RN teacher only"
-    visual = clip_model.ModifiedResNet(
-        layers=tuple(cfg["vision_layers"]),
-        output_dim=cfg["embed_dim"],
-        heads=cfg["vision_width"] * 32 // 64,
-        input_resolution=cfg["image_resolution"],
-        width=cfg["vision_width"],
-        attnpool="standard",
-    )
+    if isinstance(cfg["vision_layers"], (tuple, list)):
+        visual = clip_model.ModifiedResNet(
+            layers=tuple(cfg["vision_layers"]),
+            output_dim=cfg["embed_dim"],
+            heads=cfg["vision_width"] * 32 // 64,
+            input_resolution=cfg["image_resolution"],
+            width=cfg["vision_width"],
+            attnpool="standard",
+        )
+    else:
+        visual = clip_model.CLIPVisionTransformer(
+            input_resolution=cfg["image_resolution"],
+            patch_size=cfg["vision_patch_size"],
+            width=cfg["vision_width"],
+            layers=cfg["vision_layers"],
+            heads=cfg["vision_width"] // 64,
+            output_dim=cfg["embed_dim"],
+        )
     x0 = jnp.zeros((1, cfg["image_resolution"], cfg["image_resolution"], 3), jnp.float32)
     abstract = jax.eval_shape(lambda: visual.init(jax.random.PRNGKey(0), x0))
     if sd is None:
         variables = jax.jit(visual.init)(jax.random.PRNGKey(0), x0)
-    else:
+    elif isinstance(cfg["vision_layers"], (tuple, list)):
         variables = clip_visual_teacher_to_variables(abstract, sd, cfg["vision_layers"])
+    else:
+        variables = clip_visual_vit_teacher_to_variables(abstract, sd, cfg["vision_layers"])
     return visual, variables
 
 
@@ -245,5 +257,117 @@ def build_bcosified_clip_visual(
             cfg["vision_layers"],
             attn_unpool=attn_unpool,
             use_bias=use_bias,
+        )
+    return net, variables
+
+
+def _visual_vit_entries(
+    flat: FlatParams,
+    sd: Mapping[str, Any],
+    layers: int,
+    *,
+    bcosified: bool,
+    use_bias: bool = True,
+    scope: Tuple[str, ...] = (),
+):
+    """CLIP ViT tower mapping (visual.conv1 + resblocks + ln_pre/post + proj).
+
+    bcosified: channel-double the patchify conv ([w,-w]/2, exact on the
+    BcosifyNetwork's [z,-z] 6-channel encoding) and, when use_bias is False,
+    null the linear biases (clip_bcosification/model.py:19-24 nulls all
+    biases; the non-bcosified qkv in_proj bias is zeroed rather than removed
+    so the module structure stays shared with the teacher).
+    """
+    w = P.torch_conv_weight(sd["visual.conv1.weight"])
+    if bcosified:
+        w = P.add_channels_conv_weight(w)
+    flat[("params",) + scope + ("conv1", "weight")] = w
+    flat[("params",) + scope + ("class_embedding",)] = _np(sd["visual.class_embedding"])
+    flat[("params",) + scope + ("positional_embedding",)] = _np(
+        sd["visual.positional_embedding"]
+    )
+    flat[("params",) + scope + ("proj",)] = _np(sd["visual.proj"])
+    _ln(flat, sd, "visual.ln_pre", scope + ("ln_pre",))
+    _ln(flat, sd, "visual.ln_post", scope + ("ln_post",))
+    null_bias = bcosified and not use_bias
+    for i in range(layers):
+        tp = f"visual.transformer.resblocks.{i}"
+        jp = scope + (f"resblocks_{i}",)
+        flat[("params",) + jp + ("attn_in_proj", "weight")] = P.torch_linear_weight(
+            sd[f"{tp}.attn.in_proj_weight"]
+        )
+        in_b = _np(sd[f"{tp}.attn.in_proj_bias"])
+        flat[("params",) + jp + ("attn_in_proj", "bias")] = (
+            np.zeros_like(in_b) if null_bias else in_b
+        )
+        _ln(flat, sd, f"{tp}.ln_1", jp + ("ln_1",))
+        _ln(flat, sd, f"{tp}.ln_2", jp + ("ln_2",))
+        for name in ("attn.out_proj", "mlp.c_fc", "mlp.c_proj"):
+            jname = name.replace("attn.", "attn_").replace("mlp.", "mlp_")
+            _lin(flat, sd, f"{tp}.{name}", jp + (jname,),
+                 use_bias=(not bcosified) or use_bias)
+
+
+def clip_visual_vit_teacher_to_variables(abstract, sd: Mapping[str, Any], layers: int):
+    flat: FlatParams = {}
+    _visual_vit_entries(flat, sd, layers, bcosified=False)
+    return fill_variables(abstract, flat)
+
+
+def clip_visual_vit_student_to_variables(
+    abstract, sd: Mapping[str, Any], layers: int, *, use_bias: bool = False,
+    scope: Tuple[str, ...] = ("model",),
+):
+    flat: FlatParams = {}
+    _visual_vit_entries(flat, sd, layers, bcosified=True, use_bias=use_bias, scope=scope)
+    return fill_variables(abstract, flat)
+
+
+def build_bcosified_clip_vit_visual(
+    model_config: Dict[str, Any],
+    sd: Optional[Mapping[str, Any]] = None,
+    cfg: Optional[dict] = None,
+):
+    """BEYOND-REFERENCE: bcosify a CLIP ViT image tower.
+
+    The reference only B-cosifies CLIP-RN50 (clip_bcosification/model.py
+    loads "RN50"); this applies the same recipe using the reference's ViT
+    rules (bcosify_vit.py): patchify conv channel-doubled [w,-w]/2,
+    Linear -> BcosifyLinear except the qkv in_proj, GELU gate detached,
+    LayerNorms detachable (CLIPLayerNorm already is). The final ``proj``
+    matrix and class/positional embeddings are kept (the attnpool pos-emb
+    drop is an attention-pool-specific rewrite, not a ViT rule).
+    """
+    cfg = cfg or clip_model.config_from_state_dict(sd)
+    assert not isinstance(cfg["vision_layers"], (tuple, list)), "ViT cfg expected"
+    bargs = model_config.get("bcosify_args", {}) or {}
+    b = model_config.get("bcos_args", {}).get("b", 2)
+    use_bias = bool(bargs.get("use_bias", False))
+
+    visual = clip_model.CLIPVisionTransformer(
+        input_resolution=cfg["image_resolution"],
+        patch_size=cfg["vision_patch_size"],
+        width=cfg["vision_width"],
+        layers=cfg["vision_layers"],
+        heads=cfg["vision_width"] // 64,
+        output_dim=cfg["embed_dim"],
+        conv_layer=partial(BcosifyConv2d, b=float(b), use_bias=False),
+        linear_layer=partial(BcosifyLinear, b=float(b), use_bias=use_bias),
+        act_layer=partial(clip_model.QuickGELU, detach_gate=True),
+        name="model",
+    )
+    mean, std = normalization_for(
+        clip_kd=True, bfy_mean_zero=bool(model_config.get("bfy_mean_zero", False))
+    )
+    net = BcosifyNetwork(model=visual, with_logit_layer=False, mean=mean, std=std)
+    x0 = jnp.zeros((1, cfg["image_resolution"], cfg["image_resolution"], 6), jnp.float32)
+    abstract = jax.eval_shape(lambda: net.init(jax.random.PRNGKey(0), x0))
+    if sd is None:
+        variables = jax.jit(net.init)(
+            jax.random.PRNGKey(model_config.get("seed", 0) or 0), x0
+        )
+    else:
+        variables = clip_visual_vit_student_to_variables(
+            abstract, sd, cfg["vision_layers"], use_bias=use_bias
         )
     return net, variables

@@ -69,8 +69,9 @@ def load_state_dict_file(name: str = "RN50") -> Optional[Dict[str, np.ndarray]]:
 def load(name: str = "RN50", pretrained: bool = True):
     """-> (visual_model, visual_vars, text_model, text_vars, logit_scale, cfg).
 
-    Only the ModifiedResNet towers are supported for now (the reference's
-    B-cosification targets RN50).
+    Supports both ModifiedResNet (RN50-family) and ViT image towers; the
+    reference's B-cosification targets RN50, ViT bcosification is this
+    framework's extension (bcosify/clip_import.build_bcosified_clip_vit_visual).
     """
     from bcosification_tpu.bcosify.clip_import import (
         build_clip_teacher_visual,

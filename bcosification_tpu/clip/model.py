@@ -43,9 +43,18 @@ __all__ = [
 
 
 class QuickGELU(nn.Module):
+    """CLIP's x*sigmoid(1.702x). ``detach_gate`` makes it dynamic-linear in
+    explanation mode (the bcosified-ViT student; ≙ MyGELU's detached gate,
+    bcosify_vit.py:27-32) — the teacher keeps the plain nonlinearity."""
+
+    detach_gate: bool = False
+
     @nn.compact
     def __call__(self, x, *, train: bool = False, explain: bool = False):
-        return x * jax.nn.sigmoid(1.702 * x)
+        gate = jax.nn.sigmoid(1.702 * x)
+        if self.detach_gate and explain:
+            gate = jax.lax.stop_gradient(gate)
+        return x * gate
 
 
 class CLIPLayerNorm(nn.Module):
@@ -247,16 +256,25 @@ class ModifiedResNet(nn.Module):
 
 
 class ResidualAttentionBlock(nn.Module):
-    """CLIP/clip/model.py:171-192. Combined in_proj qkv like torch MHA."""
+    """CLIP/clip/model.py:171-192. Combined in_proj qkv like torch MHA.
+
+    ``linear_layer``/``act_layer`` inject B-cos variants for the bcosified
+    ViT student (out_proj + MLP only; the qkv in_proj is never bcosified,
+    matching bcosify.py:95's q/k/v skip rule). Defaults reproduce the plain
+    CLIP tower bit-for-bit."""
 
     d_model: int
     n_head: int
     causal: bool = False
+    linear_layer: Optional[Callable] = None
+    act_layer: Optional[Callable] = None
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, explain: bool = False):
         f = dict(train=train, explain=explain)
         d = self.d_model
+        linear = self.linear_layer or PlainLinear
+        act = self.act_layer or QuickGELU
 
         def attention(t):
             qkv = PlainLinear(3 * d, name="attn_in_proj")(t)
@@ -278,13 +296,13 @@ class ResidualAttentionBlock(nn.Module):
             attn = jax.nn.softmax(dots, axis=-1)
             out = jnp.einsum("bhnm,bhmd->bhnd", attn, vh)
             out = out.transpose(0, 2, 1, 3).reshape(b, n, d)
-            return PlainLinear(d, name="attn_out_proj")(out)
+            return linear(d, name="attn_out_proj")(out, **f)
 
         x = x + attention(CLIPLayerNorm(d, name="ln_1")(x, **f))
         h = CLIPLayerNorm(d, name="ln_2")(x, **f)
-        h = PlainLinear(4 * d, name="mlp_c_fc")(h)
-        h = QuickGELU(name="mlp_gelu")(h, **f)
-        h = PlainLinear(d, name="mlp_c_proj")(h)
+        h = linear(4 * d, name="mlp_c_fc")(h, **f)
+        h = act(name="mlp_gelu")(h, **f)
+        h = linear(d, name="mlp_c_proj")(h, **f)
         return x + h
 
 
@@ -327,7 +345,11 @@ class TextTransformer(nn.Module):
 
 
 class CLIPVisionTransformer(nn.Module):
-    """CLIP ViT image tower (CLIP/clip/model.py:206-241)."""
+    """CLIP ViT image tower (CLIP/clip/model.py:206-241).
+
+    ``conv_layer``/``linear_layer``/``act_layer`` inject B-cos variants for
+    the bcosified student (patchify conv channel-doubled outside, in the
+    importer); defaults reproduce the plain tower."""
 
     input_resolution: int = 224
     patch_size: int = 32
@@ -335,15 +357,18 @@ class CLIPVisionTransformer(nn.Module):
     layers: int = 12
     heads: int = 12
     output_dim: int = 512
+    conv_layer: Optional[Callable] = None
+    linear_layer: Optional[Callable] = None
+    act_layer: Optional[Callable] = None
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, explain: bool = False):
         f = dict(train=train, explain=explain)
-        x = PlainConv2d(
+        conv = self.conv_layer or partial(PlainConv2d, use_bias=False)
+        x = conv(
             self.width,
             kernel_size=self.patch_size,
             stride=self.patch_size,
-            use_bias=False,
             name="conv1",
         )(x, **f)
         b, h, w, c = x.shape
@@ -360,9 +385,13 @@ class CLIPVisionTransformer(nn.Module):
         x = x + pos[None].astype(x.dtype)
         x = CLIPLayerNorm(self.width, name="ln_pre")(x, **f)
         for i in range(self.layers):
-            x = ResidualAttentionBlock(self.width, self.heads, name=f"resblocks_{i}")(
-                x, **f
-            )
+            x = ResidualAttentionBlock(
+                self.width,
+                self.heads,
+                linear_layer=self.linear_layer,
+                act_layer=self.act_layer,
+                name=f"resblocks_{i}",
+            )(x, **f)
         x = CLIPLayerNorm(self.width, name="ln_post")(x[:, 0][:, None])[:, 0]
         proj = self.param(
             "proj", nn.initializers.normal(self.width**-0.5), (self.width, self.output_dim)
