@@ -444,6 +444,28 @@ def clip_rn50_config():
     )
 
 
+def clip_vit_config(name: str = "ViT-B/32"):
+    """Published OpenAI CLIP ViT architectures (CLIP/clip/model.py shapes),
+    for building towers without a checkpoint (pretrained=False path)."""
+    width, layers, patch, embed = {
+        "ViT-B/32": (768, 12, 32, 512),
+        "ViT-B/16": (768, 12, 16, 512),
+        "ViT-L/14": (1024, 24, 14, 768),
+    }[name]
+    return dict(
+        embed_dim=embed,
+        image_resolution=224,
+        vision_layers=layers,
+        vision_width=width,
+        vision_patch_size=patch,
+        context_length=77,
+        vocab_size=49408,
+        transformer_width=512 if "B/" in name else 768,
+        transformer_heads=8 if "B/" in name else 12,
+        transformer_layers=12,
+    )
+
+
 def config_from_state_dict(sd) -> dict:
     """Infer the CLIP architecture from a checkpoint (CLIP/clip/model.py:400-424)."""
     vit = "visual.proj" in sd

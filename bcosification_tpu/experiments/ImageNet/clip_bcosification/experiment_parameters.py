@@ -92,9 +92,30 @@ attn_unpool = {
     for name, cfg in resnets_clip.items()
 }
 
+# BEYOND-REFERENCE: CLIP ViT towers through the same SigLIP-KD recipe
+# (the reference only bcosifies RN50; see bcosify/clip_import.py)
+vits_clip = {
+    f"vit_{tag}_clip_b2_noBias_randomResizedCrop_sigLip_ImageNet_bcosification": (
+        update_default(
+            dict(
+                clip_kd=True,
+                model=dict(
+                    name=f"vit{tag.replace('_', '')}clip",
+                    bcosify_args=dict(
+                        clip_kd=True, fix_b=True, use_bias=False,
+                        schDLR="cosineAnnealingLR",
+                    ),
+                ),
+            )
+        )
+    )
+    for tag in ("b_32", "b_16", "l_14")
+}
+
 CONFIGS = dict()
 CONFIGS.update(resnets_clip)
 CONFIGS.update(attn_unpool)
+CONFIGS.update(vits_clip)
 CONFIGS.update(create_configs_with_different_seeds(dict(resnets_clip), seeds=[420, 1337]))
 
 if __name__ == "__main__":

@@ -120,3 +120,18 @@ def test_vit_student_explain_linear(tiny_vit_sd, rng):
     f = lambda t: (student.apply(svars, t, train=False, explain=True) ** 2).sum()
     w = jax.grad(f)(x6)
     assert w.shape == x6.shape and np.isfinite(np.asarray(w)).all()
+
+
+def test_vit_experiment_config(rng):
+    """The beyond-reference ViT KD configs resolve through the Experiment
+    surface and build runnable students (random init when weights absent)."""
+    from bcosification_tpu.experiments.utils import Experiment
+
+    exp = Experiment(
+        "ImageNet", "clip_bcosification",
+        "vit_b_32_clip_b2_noBias_randomResizedCrop_sigLip_ImageNet_bcosification",
+    )
+    net, variables = exp.get_model()
+    out = net.apply(variables, jnp.zeros((1, 224, 224, 6), jnp.float32), train=False)
+    assert out.shape == (1, 512)
+    assert np.isfinite(np.asarray(out)).all()
