@@ -24,6 +24,15 @@ __all__ = ["available_models", "load_state_dict_file", "load", "tokenize"]
 
 _MODELS = ["RN50", "RN101", "RN50x4", "RN50x16", "RN50x64", "ViT-B/32", "ViT-B/16", "ViT-L/14"]
 
+# framework model-config names -> OpenAI CLIP tower names (shared by the
+# experiment factories and the KD trainer's teacher selection)
+MODEL_CONFIG_CLIP_NAMES = {
+    "resnet50clip": "RN50",
+    "vitb32clip": "ViT-B/32",
+    "vitb16clip": "ViT-B/16",
+    "vitl14clip": "ViT-L/14",
+}
+
 
 def available_models():
     return list(_MODELS)
@@ -79,11 +88,12 @@ def load(name: str = "RN50", pretrained: bool = True):
     )
 
     sd = load_state_dict_file(name) if pretrained else None
-    cfg = (
-        clip_model.config_from_state_dict(sd)
-        if sd is not None
-        else clip_model.clip_rn50_config()
-    )
+    if sd is not None:
+        cfg = clip_model.config_from_state_dict(sd)
+    elif name.startswith("ViT"):
+        cfg = clip_model.clip_vit_config(name)
+    else:
+        cfg = clip_model.clip_rn50_config()
     visual, visual_vars = build_clip_teacher_visual(sd, cfg)
     text, text_vars = build_clip_text(sd, cfg)
     logit_scale = (

@@ -15,16 +15,12 @@ from bcosification_tpu.bcosify.clip_import import (
     build_bcosified_clip_vit_visual,
 )
 from bcosification_tpu.clip import model as clip_model
-from bcosification_tpu.clip.load import load_state_dict_file
+from bcosification_tpu.clip.load import (
+    MODEL_CONFIG_CLIP_NAMES as _CLIP_NAMES,
+    load_state_dict_file,
+)
 
 __all__ = ["get_model"]
-
-_CLIP_NAMES = {
-    "resnet50clip": "RN50",
-    "vitb32clip": "ViT-B/32",
-    "vitb16clip": "ViT-B/16",
-    "vitl14clip": "ViT-L/14",
-}
 
 
 def get_model(model_config):

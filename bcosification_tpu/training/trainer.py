@@ -262,9 +262,13 @@ class Trainer:
         fast_dev_run: bool = False,
     ):
         """SigLIP knowledge distillation (trainer.py:652-724 + callbacks):
-        frozen CLIP RN50 teacher, B-cosified student, per-epoch val loss and
-        (when data is reachable) CLIP zeroshot eval."""
-        from bcosification_tpu.clip.load import load as clip_load
+        frozen CLIP teacher (the tower matching the student's model.name),
+        B-cosified student, per-epoch val loss and (when data is reachable)
+        CLIP zeroshot eval."""
+        from bcosification_tpu.clip.load import (
+            MODEL_CONFIG_CLIP_NAMES,
+            load as clip_load,
+        )
         from bcosification_tpu.training import kd as kd_lib
 
         config = self.config
@@ -276,7 +280,10 @@ class Trainer:
         except TypeError:  # webdataset pipelines have no len
             steps_per_epoch = config.get("steps_per_epoch", 5000)
 
-        teacher, teacher_vars, text_model, text_vars, _, _ = clip_load("RN50")
+        clip_name = MODEL_CONFIG_CLIP_NAMES.get(
+            self.config.get("model", {}).get("name", "resnet50clip"), "RN50"
+        )
+        teacher, teacher_vars, text_model, text_vars, _, _ = clip_load(clip_name)
         teacher_vars = mesh_lib.replicate(teacher_vars, self.mesh)
 
         tx, _, schedule = _make_optimizers(
