@@ -354,6 +354,7 @@ def build_bcosified_clip_vit_visual(
         conv_layer=partial(BcosifyConv2d, b=float(b), use_bias=False),
         linear_layer=partial(BcosifyLinear, b=float(b), use_bias=use_bias),
         act_layer=partial(clip_model.QuickGELU, detach_gate=True),
+        unpool=bool(model_config.get("attn_unpool", False)),
         name="model",
     )
     mean, std = normalization_for(

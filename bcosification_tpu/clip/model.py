@@ -360,6 +360,7 @@ class CLIPVisionTransformer(nn.Module):
     conv_layer: Optional[Callable] = None
     linear_layer: Optional[Callable] = None
     act_layer: Optional[Callable] = None
+    unpool: bool = False  # per-token features (ViT analogue of attn_unpool)
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, explain: bool = False):
@@ -392,10 +393,20 @@ class CLIPVisionTransformer(nn.Module):
                 act_layer=self.act_layer,
                 name=f"resblocks_{i}",
             )(x, **f)
-        x = CLIPLayerNorm(self.width, name="ln_post")(x[:, 0][:, None])[:, 0]
         proj = self.param(
             "proj", nn.initializers.normal(self.width**-0.5), (self.width, self.output_dim)
         )
+        if self.unpool:
+            # per-location token features, L2-normalised — the ViT analogue
+            # of BcosAttentionPool2d's attn_unpool ([B, HW, D], the basis for
+            # text localisation / cosine-power pooling)
+            tok = CLIPLayerNorm(self.width, name="ln_post")(x[:, 1:], **f)
+            out = tok @ proj
+            norm = jnp.linalg.norm(out, axis=-1, keepdims=True)
+            if explain:
+                norm = jax.lax.stop_gradient(norm)
+            return out / norm
+        x = CLIPLayerNorm(self.width, name="ln_post")(x[:, 0][:, None])[:, 0]
         return x @ proj
 
 

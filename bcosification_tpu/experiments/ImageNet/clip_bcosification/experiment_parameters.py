@@ -112,10 +112,18 @@ vits_clip = {
     for tag in ("b_32", "b_16", "l_14")
 }
 
+vit_unpool = {
+    name + "_attnUnpool": update_config(
+        cfg, dict(model=dict(attn_unpool=True, cos_power=2))
+    )
+    for name, cfg in vits_clip.items()
+}
+
 CONFIGS = dict()
 CONFIGS.update(resnets_clip)
 CONFIGS.update(attn_unpool)
 CONFIGS.update(vits_clip)
+CONFIGS.update(vit_unpool)
 CONFIGS.update(create_configs_with_different_seeds(dict(resnets_clip), seeds=[420, 1337]))
 
 if __name__ == "__main__":

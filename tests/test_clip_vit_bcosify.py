@@ -135,3 +135,19 @@ def test_vit_experiment_config(rng):
     out = net.apply(variables, jnp.zeros((1, 224, 224, 6), jnp.float32), train=False)
     assert out.shape == (1, 512)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_vit_unpool_tokens(tiny_vit_sd, rng):
+    """attn_unpool analogue for ViT: per-token L2-normalised features
+    [B, HW, D] (text-localisation basis)."""
+    cfg = clip_model.config_from_state_dict(tiny_vit_sd)
+    mc = {
+        "bcosify_args": {"use_bias": False},
+        "bcos_args": {"b": 2},
+        "attn_unpool": True,
+    }
+    student, svars = build_bcosified_clip_vit_visual(mc, tiny_vit_sd, cfg)
+    x6 = jnp.asarray(rng.random((2, 32, 32, 6)).astype(np.float32))
+    out = np.asarray(student.apply(svars, x6, train=False))
+    assert out.shape == (2, 16, 16)  # [B, HW=4x4 patches, D=embed 16]
+    np.testing.assert_allclose(np.linalg.norm(out, axis=-1), 1.0, atol=1e-4)
