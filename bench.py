@@ -73,16 +73,18 @@ def main():
     n_small, n_big = 2, 12
     float(bench_n(variables, x, n_big))
 
-    t0 = time.perf_counter()
-    float(bench_n(variables, x, n_small))
-    t_small = time.perf_counter() - t0
+    def measure():
+        t0 = time.perf_counter()
+        float(bench_n(variables, x, n_small))
+        t_small = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(bench_n(variables, x, n_big))
+        t_big = time.perf_counter() - t0
+        # slope removes the fixed dispatch/transfer overhead
+        return (t_big - t_small) / (n_big - n_small)
 
-    t0 = time.perf_counter()
-    float(bench_n(variables, x, n_big))
-    t_big = time.perf_counter() - t0
-
-    # slope removes the fixed dispatch/transfer overhead
-    per_iter = (t_big - t_small) / (n_big - n_small)
+    # best of two passes: one-off tunnel hiccups only ever inflate the time
+    per_iter = min(measure(), measure())
     img_per_s = BATCH / per_iter
     print(
         json.dumps(
