@@ -406,7 +406,7 @@ class CLIPVisionTransformer(nn.Module):
             if explain:
                 norm = jax.lax.stop_gradient(norm)
             return out / norm
-        x = CLIPLayerNorm(self.width, name="ln_post")(x[:, 0][:, None])[:, 0]
+        x = CLIPLayerNorm(self.width, name="ln_post")(x[:, 0][:, None], **f)[:, 0]
         return x @ proj
 
 

@@ -45,10 +45,15 @@ def main():
             # eval transform by the grid size so the n x n multi-image has the
             # model's native input resolution.
             prev = experiment.config["data"]["test_transform"]
+            prev_args = getattr(prev, "args", {})
+            if "crop_size" not in prev_args:
+                print(f"skip {cfg_name}: test transform has no crop_size "
+                      "(rescale mode needs a resize/crop preset)")
+                continue
             n = int(cfg["n_imgs"] ** 0.5)
             dm_overrides["test_transform"] = prev.with_args(
-                crop_size=prev.args["crop_size"] // n,
-                resize_size=prev.args.get("resize_size", 256) // n,
+                crop_size=prev_args["crop_size"] // n,
+                resize_size=prev_args.get("resize_size", 256) // n,
             )
         dm = experiment.get_datamodule(**dm_overrides)
         dm.setup("test")

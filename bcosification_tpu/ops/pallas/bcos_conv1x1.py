@@ -15,11 +15,12 @@ saving activation-sized residuals for the VJP. These kernels do:
   tiles, the whole epilogue in registers, ONE bf16 output (a). The row
   sum-of-squares comes in as a [M,1] f32 operand (the model's
   `channel_sumsq` hint — computed in the producer's epilogue).
-- backward (explanation mode, the bench path): one kernel per M-tile that
-  RECOMPUTES u = x@w on the MXU (FLOPs are free, bytes are not), rebuilds
-  mask/scale from the saved output and ssq, and contracts dx = g @ w^T in
-  the same kernel — reads (x, ct, a), writes (dx); no activation-sized
-  residuals.
+- backward (explanation mode): residual-free — recomputes u = x@w and the
+  detached scale with plain XLA matmuls in the custom VJP (saves only the
+  layer input and output). A single-kernel Pallas backward
+  (_pallas_bwd_explain) is kept as a RETIRED EXPERIMENT — it re-DMAs the
+  weight block per grid step and measured slower; the live VJP is
+  _fused_tpu_bwd below.
 
 Non-TPU / odd shapes fall back to a pure-jnp path whose autodiff handles
 both explain modes, so CPU tests exercise identical semantics.
@@ -115,7 +116,10 @@ def _pallas_fwd(x2, w, ssq, mult, add, *, eps, relu, tm):
 
 
 # -----------------------------------------------------------------------------
-# backward kernel (explain mode): dx tile directly, u recomputed on the MXU
+# RETIRED EXPERIMENT: single-kernel backward (dx tile directly, u recomputed
+# on the MXU). Not used by _fused_tpu's VJP — it re-streams the weight block
+# per M-tile and measured slower than the XLA-matmul backward below. Kept for
+# future tuning if Mosaic gains cross-iteration block residency guarantees.
 # -----------------------------------------------------------------------------
 def _bwd_kernel(x_ref, w_ref, ssq_ref, mult_ref, ct_ref, a_ref, dx_ref,
                 *, eps: float, relu: bool):
@@ -268,6 +272,8 @@ def bcos_conv1x1_bn_act(
         and m % 128 == 0
         and c_in % 128 == 0
         and c_out % 128 == 0
+        and mult.size == c_out  # per-channel affine only (AllNorm's scalar
+        # stat_shape would break the (1, c_out) BlockSpec; jnp broadcasts fine)
     ):
         # ssq is a constant w.r.t. differentiation in explanation mode (the
         # patch norm is detached); stop it here so no cotangent flows down

@@ -83,8 +83,11 @@ def make_kd_train_step(
     ema_decay: Optional[float] = None,
     ema_steps: int = 32,
     donate: bool = True,
+    amp: bool = False,
 ):
-    """Jitted KD train step over a data mesh."""
+    """Jitted KD train step over a data mesh. ``amp``: bf16 activations for
+    BOTH branches (teacher + student) over fp32 params (reference --amp ->
+    PL precision=16)."""
     assert loss_mode in ("global", "ring")
     ring_loss = SigLipLoss(axis_name=DATA_AXIS)
     local_loss = SigLipLoss()
@@ -125,6 +128,8 @@ def make_kd_train_step(
 
     def train_step(state: steps_lib.TrainState, batch):
         images = batch["image"]
+        if amp:
+            images = images.astype(jnp.bfloat16)
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, images
         )

@@ -166,7 +166,7 @@ class TensorBoardLogger:
         )
 
     def log_hparams(self, config: Dict):
-        # record as a one-off text-free scalar-less event stream is pointless;
+        # a one-off text-free scalar-less event stream would be pointless;
         # persist alongside the events instead (plain JSON, like the CSV logger)
         import json
 
@@ -181,7 +181,9 @@ class TensorBoardLogger:
         (self.logdir / "hparams.json").write_text(json.dumps(config, default=repr))
 
     def finalize(self):
-        self._f.close()
+        # flush only: a Trainer may run fit() more than once (resume patterns)
+        # and keeps its loggers across runs; the file closes with the process
+        self._f.flush()
 
 
 class WandbLogger:

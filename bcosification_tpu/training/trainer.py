@@ -301,6 +301,7 @@ class Trainer:
             use_agc=config.get("use_agc", True),
             loss_mode=config.get("siglip_loss_mode", "global"),
             mesh=self.mesh,
+            amp=bool(self.args.get("amp", False)),
         )
         state = steps_lib.create_train_state(variables, tx)
 

@@ -39,8 +39,9 @@ def get_parser():
     parser.add_argument("--wandb_id", default=None)
     parser.add_argument("--wandb_name", default=None)
     parser.add_argument(
-        "--base_directory", default="./experiments",
-        help="root for experiment save dirs (reference train.py --base_directory)",
+        "--base_directory", default=None,
+        help="root for experiment save dirs; unset -> BCOS_EXPERIMENT_ROOT "
+        "env / settings default (reference train.py --base_directory)",
     )
     parser.add_argument(
         "--refresh_rate", type=int, default=None,
