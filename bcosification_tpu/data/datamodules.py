@@ -134,10 +134,20 @@ class ClassificationDataModule:
 
     def val_dataloader(self) -> DataLoader:
         return DataLoader(
-            self.eval_dataset, self.batch_size, num_workers=self.num_workers
+            self.eval_dataset,
+            self.batch_size,
+            num_workers=self.num_workers,
+            collate_fn=self._eval_collate,
         )
 
     test_dataloader = val_dataloader
+
+    @staticmethod
+    def _eval_collate(batch):
+        # every consumer (Trainer.validate, evaluate.py, zeroshot) takes
+        # {"image", "label"} dict batches, same as the train collate
+        images, targets = default_collate(batch)
+        return {"image": images, "label": targets}
 
     # -- collate (datamodules.py:136-171) --------------------------------------
     @classmethod

@@ -217,6 +217,12 @@ class Trainer:
                 n_steps += 1
                 if fast_dev_run:
                     break
+            if not losses:
+                print(
+                    "WARNING: train loader yielded no batches — dataset "
+                    "smaller than batch_size with drop_last=True? Metrics "
+                    "for this epoch are NaN."
+                )
             train_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
             train_acc = float(jnp.mean(jnp.stack(accs))) if accs else float("nan")
 
