@@ -37,7 +37,9 @@ __all__ = ["make_kd_train_step", "kd_forward_features"]
 
 
 def _l2(x):
-    return x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+    # eps guards 0/0 for degenerate (random-init) features; pretrained
+    # feature norms are always nonzero
+    return x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + 1e-8)
 
 
 def kd_forward_features(

@@ -330,8 +330,10 @@ class Trainer:
                 images,
                 train=False,
             )
-            s = s_out / jnp.linalg.norm(s_out, axis=-1, keepdims=True)
-            t = t_feat / jnp.linalg.norm(t_feat, axis=-1, keepdims=True)
+            # eps guards 0/0 for degenerate (e.g. random-init smoke-run)
+            # features; pretrained weights always have nonzero norms
+            s = s_out / (jnp.linalg.norm(s_out, axis=-1, keepdims=True) + 1e-8)
+            t = t_feat / (jnp.linalg.norm(t_feat, axis=-1, keepdims=True) + 1e-8)
             return SigLipLoss()(s, t, 10.0, -10.0)
 
         for epoch in range(start_epoch, max_epochs):
