@@ -22,7 +22,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
-#include <deque>
+#include <map>
 #include <mutex>
 #include <random>
 #include <string>
@@ -147,15 +147,21 @@ class Loader {
   int out_size() const { return out_size_; }
   int channels_out() const { return channels_out_; }
 
-  // Blocks until the next batch is ready; returns items copied (0 = epoch end).
+  // Blocks until the next batch IN SUBMISSION ORDER is ready; returns items
+  // copied (0 = epoch end). Workers finish decode jobs in arbitrary order, so
+  // completed batches land in a reorder buffer keyed by their sequence number
+  // and are emitted strictly sequentially — eval consumers (localisation
+  // ranks per-sample confidences by index) depend on deterministic order.
   int next(float* images, int32_t* labels) {
     std::unique_lock<std::mutex> lk(mu_);
     cv_data_.wait(lk, [this] {
-      return stop_ || !queue_.empty() || produced_ >= n_batches_;
+      return stop_ || ready_.count(consumed_) || consumed_ >= n_batches_;
     });
-    if (!queue_.empty()) {
-      Batch b = std::move(queue_.front());
-      queue_.pop_front();
+    auto it = ready_.find(consumed_);
+    if (it != ready_.end()) {
+      Batch b = std::move(it->second);
+      ready_.erase(it);
+      consumed_++;
       lk.unlock();
       cv_space_.notify_one();
       std::memcpy(images, b.images.data(), b.images.size() * sizeof(float));
@@ -167,8 +173,12 @@ class Loader {
 
   void reset(int epoch) {
     std::unique_lock<std::mutex> lk(mu_);
-    queue_.clear();
+    // Wait out in-flight jobs from the previous epoch so a stale batch can't
+    // land in the fresh epoch's reorder buffer under a reused seq number.
+    cv_data_.wait(lk, [this] { return stop_ || inflight_ == 0; });
+    ready_.clear();
     next_index_ = 0;
+    consumed_ = 0;
     produced_ = 0;
     if (mode_ == kModeTrain) shuffle_epoch(epoch);
     lk.unlock();
@@ -260,15 +270,18 @@ class Loader {
         std::unique_lock<std::mutex> lk(mu_);
         // produce while the queue has space AND the epoch has batches left;
         // an exhausted epoch parks workers here until reset()
+        // claim gate is batch-count based so a dataset smaller than one batch
+        // (n_batches_ == 1, wraparound sampling) still produces its batch
         cv_space_.wait(lk, [this] {
-          return stop_ || (queue_.size() + inflight_ < size_t(max_queue_) &&
-                           next_index_ + batch_ <= order_.size());
+          return stop_ || (ready_.size() + inflight_ < size_t(max_queue_) &&
+                           next_index_ < n_batches_ * size_t(batch_));
         });
         if (stop_) return;
         begin = next_index_;
         next_index_ += batch_;
         inflight_++;
       }
+      const size_t seq = begin / batch_;
       Batch b;
       const int S = out_size_;
       b.images.resize(size_t(batch_) * S * S * channels_out_);
@@ -281,11 +294,13 @@ class Loader {
       }
       {
         std::lock_guard<std::mutex> lk(mu_);
-        queue_.push_back(std::move(b));
+        ready_.emplace(seq, std::move(b));
         produced_++;
         inflight_--;
       }
-      cv_data_.notify_one();
+      // notify_all: the consumer may be waiting for a specific seq, and
+      // reset() may be waiting for inflight_ == 0
+      cv_data_.notify_all();
     }
   }
 
@@ -298,8 +313,9 @@ class Loader {
 
   std::mutex mu_;
   std::condition_variable cv_data_, cv_space_;
-  std::deque<Batch> queue_;
+  std::map<size_t, Batch> ready_;  // seq -> completed batch (reorder buffer)
   size_t next_index_ = 0;
+  size_t consumed_ = 0;
   size_t produced_ = 0;
   size_t inflight_ = 0;
   bool stop_ = false;

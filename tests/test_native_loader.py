@@ -97,3 +97,40 @@ def test_train_mode_shuffles_and_runs(jpeg_dir):
     l1 = np.concatenate([b["label"] for b in b1])
     l2 = np.concatenate([b["label"] for b in b2])
     assert sorted(l1.tolist()) == sorted(labels)[: len(l1)] or len(l1) == 8
+
+
+@needs_native
+def test_eval_order_under_contention(tmp_path, rng):
+    """Reorder buffer: 8 threads racing over 16 batches must still emit
+    submission order (round-1 bug: completion order leaked into batch order)."""
+    from PIL import Image
+
+    paths, labels = [], []
+    for i in range(64):
+        arr = (rng.random((40 + (i % 5) * 16, 48, 3)) * 255).astype(np.uint8)
+        p = tmp_path / f"s_{i}.jpg"
+        Image.fromarray(arr).save(p, quality=90)
+        paths.append(str(p))
+        labels.append(i)
+    for _ in range(3):  # repeat: thread scheduling is nondeterministic
+        loader = NativeImageLoader(
+            paths, labels, out_size=24, resize_size=28, batch_size=4,
+            num_threads=8, mode="eval", prefetch_batches=6,
+        )
+        got = np.concatenate([b["label"] for b in loader])
+        np.testing.assert_array_equal(got, np.arange(64))
+
+
+@needs_native
+def test_dataset_smaller_than_batch(jpeg_dir):
+    """<1 batch of samples: single wraparound batch, no hang."""
+    paths, labels = jpeg_dir
+    loader = NativeImageLoader(
+        paths[:3], labels[:3], out_size=16, resize_size=20, batch_size=4,
+        num_threads=2, mode="eval",
+    )
+    batches = list(loader)
+    assert len(batches) == 1
+    np.testing.assert_array_equal(
+        batches[0]["label"], np.asarray(labels[:3] + labels[:1])
+    )
