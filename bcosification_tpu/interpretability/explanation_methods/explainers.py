@@ -151,7 +151,33 @@ class Grad(ExplainerBase):
         return self._jitted(self.variables, img, jnp.asarray(targets))
 
 
-GB = Grad  # guided backprop degenerates to Grad for ReLU-free B-cos nets
+class GB(ExplainerBase):
+    """Guided Backprop (`explainers/captum.py` GuidedBackprop): saliency
+    where every ReLU's backward pass keeps only positive gradients at
+    positively activated units. Differs from Grad on bcosified CNNs, which
+    keep their ReLUs (``act_layer: True``, ref bcosify.py:110-114); on a
+    ReLU-free B-cos net GB == Grad exactly. The context manager is entered
+    inside the traced function so the guided VJP is baked into every trace
+    of this explainer and no other (see ops/guided.py)."""
+
+    @functools.cached_property
+    def _jitted(self):
+        from bcosification_tpu.ops.guided import guided_backprop
+
+        @jax.jit
+        def run(variables, img, targets):
+            def apply_fn(x):
+                with guided_backprop():
+                    return self.model.apply(
+                        variables, x, train=False, explain=False
+                    )
+
+            return _grad_wrt_input(apply_fn, img, targets)
+
+        return run
+
+    def attribute_selection(self, img, targets):
+        return self._jitted(self.variables, img, jnp.asarray(targets))
 
 
 class IntGrad(ExplainerBase):

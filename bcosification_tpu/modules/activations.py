@@ -40,7 +40,10 @@ MyGELU = DetachableGELU  # reference name
 class ReLU(nn.Module):
     @nn.compact
     def __call__(self, x, *, train: bool = False, explain: bool = False):
-        return jax.nn.relu(x)
+        # routed through ops.guided so GuidedBackprop can gate the VJP
+        from bcosification_tpu.ops import guided
+
+        return guided.relu(x)
 
 
 class Identity(nn.Module):

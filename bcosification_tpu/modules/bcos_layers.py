@@ -208,7 +208,9 @@ def _epilogue_result(mod, x, w_hwio, bias, b, explain, x_sumsq, epilogue):
     if add is not None:
         out = out + jnp.reshape(add, (1, 1, 1, -1)).astype(out.dtype)
     if relu:
-        out = jnp.maximum(out, 0)
+        from bcosification_tpu.ops import guided
+
+        out = guided.relu(out)
     return out
 
 

@@ -184,7 +184,9 @@ def _jnp_path(x4, w, bias, mult, add, relu, eps, explain, x_sumsq):
     if add is not None:
         z = z + jnp.reshape(add, (1, 1, 1, -1)).astype(z.dtype)
     if relu:
-        z = jnp.maximum(z, 0)
+        from bcosification_tpu.ops import guided
+
+        z = guided.relu(z)
     return z
 
 
@@ -263,9 +265,12 @@ def bcos_conv1x1_bn_act(
     w = w.astype(x4.dtype)  # params are f32; compute in the activation dtype
     if add is None:
         add = jnp.zeros((c_out,), jnp.float32)
+    from bcosification_tpu.ops import guided
+
     m = x4.shape[0] * x4.shape[1] * x4.shape[2]
     if (
         fused_enabled()
+        and not guided.guided_mode()  # Pallas custom VJP can't gate the ReLU
         and explain
         and bias is None
         and x_sumsq is not None

@@ -186,3 +186,93 @@ def test_text_localisation_shapes(rng):
     np.testing.assert_allclose(
         float(res["contribution_map"].sum()), res["score"], rtol=1e-4
     )
+
+
+class _ReluMLP(nn.Module):
+    """Dense -> ReLU -> Dense, with the model-path ReLU module so GuidedBackprop
+    can gate it."""
+
+    w1: np.ndarray
+    w2: np.ndarray
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False, explain: bool = False):
+        from bcosification_tpu.modules.activations import ReLU
+
+        h = x.reshape((x.shape[0], -1)) @ jnp.asarray(self.w1)
+        h = ReLU()(h, train=train, explain=explain)
+        return h @ jnp.asarray(self.w2)
+
+
+def test_guided_backprop_matches_manual_gating(rng):
+    """GB on Dense->ReLU->Dense must equal the hand-computed guided gradient:
+    at the ReLU, only positive grads through positively-activated units."""
+    from bcosification_tpu.interpretability.explanation_methods import get_explainer
+
+    din, dh, dout = 12, 16, 5
+    w1 = rng.standard_normal((din, dh)).astype(np.float32)
+    w2 = rng.standard_normal((dh, dout)).astype(np.float32)
+    x = rng.standard_normal((1, din)).astype(np.float32)
+    model = _ReluMLP(w1=w1, w2=w2)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+
+    t = 2
+    gb = get_explainer(model, variables, "GB")
+    got = np.asarray(gb.attribute_selection(jnp.asarray(x), jnp.asarray([t])))[0]
+
+    h = x[0] @ w1
+    g_h = w2[:, t]  # upstream grad at the ReLU output
+    gated = np.where((h > 0) & (g_h > 0), g_h, 0.0)
+    want = w1 @ gated
+    np.testing.assert_allclose(got.reshape(-1), want, rtol=1e-5, atol=1e-6)
+
+    # and it differs from plain Grad (some unit has h>0, g_h<0 or vice versa)
+    grad = get_explainer(model, variables, "Grad")
+    vanilla = np.asarray(grad.attribute_selection(jnp.asarray(x), jnp.asarray([t])))[0]
+    assert np.abs(got - vanilla).max() > 1e-4
+
+    # guided mode must not leak: Grad traced AFTER GB still matches autodiff
+    want_vanilla = w1 @ np.where(h > 0, g_h, 0.0)
+    np.testing.assert_allclose(vanilla.reshape(-1), want_vanilla, rtol=1e-5, atol=1e-6)
+
+
+def test_guided_backprop_on_bcosified_relu_net(rng):
+    """GB != Grad on a bcos net WITH ReLUs (act_layer=True keeps them,
+    ref bcosify.py:110-114); GB == Grad on the ReLU-free variant."""
+    from bcosification_tpu.interpretability.explanation_methods import get_explainer
+    from bcosification_tpu.modules.activations import ReLU, Identity
+
+    class TinyBcosNet(nn.Module):
+        with_relu: bool
+
+        @nn.compact
+        def __call__(self, x, *, train: bool = False, explain: bool = False):
+            act = ReLU if self.with_relu else Identity
+            x = BcosConv2d(features=8, kernel_size=3, padding=1)(
+                x, train=train, explain=explain
+            )
+            x = act()(x, train=train, explain=explain)
+            x = BcosConv2d(features=4, kernel_size=1)(
+                x, train=train, explain=explain
+            )
+            return x.mean(axis=(1, 2))
+
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 6)).astype(np.float32))
+
+    relu_net = TinyBcosNet(with_relu=True)
+    v = relu_net.init(jax.random.PRNGKey(1), x)
+    gb = get_explainer(relu_net, v, "GB")
+    gr = get_explainer(relu_net, v, "Grad")
+    a_gb = np.asarray(gb.attribute_selection(x, jnp.asarray([1])))
+    a_gr = np.asarray(gr.attribute_selection(x, jnp.asarray([1])))
+    assert np.abs(a_gb - a_gr).max() > 1e-6, "GB must gate ReLU grads"
+
+    free_net = TinyBcosNet(with_relu=False)
+    v2 = free_net.init(jax.random.PRNGKey(1), x)
+    gb2 = get_explainer(free_net, v2, "GB")
+    gr2 = get_explainer(free_net, v2, "Grad")
+    np.testing.assert_allclose(
+        np.asarray(gb2.attribute_selection(x, jnp.asarray([1]))),
+        np.asarray(gr2.attribute_selection(x, jnp.asarray([1]))),
+        rtol=1e-6, atol=1e-7,
+    )
