@@ -33,11 +33,25 @@ __all__ = ["run_training", "build_train_state_template", "Trainer"]
 
 
 def _make_optimizers(experiment, params, steps_per_epoch: int):
+    """Build (tx, b_tx, log_schedule) from the experiment config.
+
+    ``trainer.accumulate_grad_batches`` (the reference's PL kwarg, consumed in
+    ref trainer.py:554 and training.py:73-80) wraps both optimizers in
+    ``optax.MultiSteps``: gradients are averaged over k micro-batches and the
+    inner optimizer (and its LR schedule) advances once per k. Note grad
+    clipping/AGC in the train step applies per micro-batch gradient, before
+    accumulation. The returned schedule is step-indexed by MICRO-batch (the
+    TrainState step counter) for logging.
+    """
+    import optax
+
     config = experiment.config
     opt_factory = config["optimizer"]
     sched_factory = config.get("lr_scheduler")
+    accum = int(config.get("trainer", {}).get("accumulate_grad_batches", 1) or 1)
+    opt_steps_per_epoch = max(steps_per_epoch // accum, 1)
     schedule = (
-        sched_factory.create(opt_factory.lr, steps_per_epoch)
+        sched_factory.create(opt_factory.lr, opt_steps_per_epoch)
         if sched_factory is not None
         else opt_factory.lr
     )
@@ -52,7 +66,14 @@ def _make_optimizers(experiment, params, steps_per_epoch: int):
         b_tx = b_opt_factory.with_args(bcosify=True, b_opt=True).create(
             b_opt_factory.lr, params
         )
-    return tx, b_tx, schedule
+    log_schedule = schedule
+    if accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
+        if b_tx is not None:
+            b_tx = optax.MultiSteps(b_tx, every_k_schedule=accum)
+        if callable(schedule):
+            log_schedule = lambda step: schedule(step // accum)  # noqa: E731
+    return tx, b_tx, log_schedule
 
 
 def build_train_state_template(experiment, model, variables) -> steps_lib.TrainState:
@@ -162,6 +183,9 @@ class Trainer:
                 batch_size=datamodule.batch_size * world,
                 max_epochs=max_epochs,
                 ema_steps=ema_steps,
+                accumulate_grad_batches=int(
+                    config.get("trainer", {}).get("accumulate_grad_batches", 1) or 1
+                ),
             )
 
         bargs = config.get("model", {}).get("bcosify_args", {}) or {}

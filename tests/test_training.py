@@ -185,3 +185,66 @@ def test_adjusted_ema_decay_formula():
     d = adjusted_ema_decay(0.99, world_size=4, batch_size=64, max_epochs=90, ema_steps=32)
     adjust = 4 * 64 * 32 * 1 / 90
     assert d == pytest.approx(1.0 - min(1.0, (1 - 0.99) * adjust))
+
+
+def test_grad_accumulation_matches_big_batch(rng):
+    """trainer.accumulate_grad_batches=k: k micro-steps at batch B must produce
+    the SAME update as one step at batch kB (optax.MultiSteps averages grads;
+    the LR schedule advances once per k). Ref: PL accumulate_grad_batches
+    consumed at trainer.py:554 / training.py:73-80."""
+    import types
+
+    from bcosification_tpu.losses import UniformOffLabelsBCEWithLogitsLoss
+    from bcosification_tpu.optim.optimizer_factory import OptimizerFactory
+    from bcosification_tpu.optim.lr_scheduler_factory import LRSchedulerFactory
+    from bcosification_tpu.training.trainer import _make_optimizers
+    from bcosification_tpu.training import steps as steps_lib
+    from flax import linen as nn
+
+    class Dense(nn.Module):
+        @nn.compact
+        def __call__(self, x, *, train=False, explain=False):
+            return nn.Dense(5)(x.reshape((x.shape[0], -1)))
+
+    model = Dense()
+    x = rng.standard_normal((8, 4)).astype(np.float32)
+    y = (rng.integers(0, 5, (8,))).astype(np.int32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x[:1]))
+    crit = UniformOffLabelsBCEWithLogitsLoss()
+
+    def make_exp(accum):
+        exp = types.SimpleNamespace()
+        exp.config = dict(
+            criterion=crit,
+            optimizer=OptimizerFactory(name="sgd", lr=0.5, momentum=0.9),
+            lr_scheduler=LRSchedulerFactory(name="cosineannealinglr", epochs=2),
+            trainer=dict(accumulate_grad_batches=accum),
+            model=dict(),
+        )
+        return exp
+
+    # accumulated: 2 micro-steps of batch 4
+    tx_a, _, _ = _make_optimizers(make_exp(2), variables["params"], steps_per_epoch=2)
+    step_a = steps_lib.make_train_step(model, crit, tx_a, donate=False)
+    st_a = steps_lib.create_train_state(variables, tx_a)
+    p0 = jax.device_get(st_a.params)
+    st_a, _ = step_a(st_a, {"image": jnp.asarray(x[:4]), "label": jnp.asarray(y[:4])})
+    # params must be UNCHANGED after the first micro-step
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        jax.device_get(st_a.params), p0,
+    )
+    st_a, _ = step_a(st_a, {"image": jnp.asarray(x[4:]), "label": jnp.asarray(y[4:])})
+
+    # one big step of batch 8
+    tx_b, _, _ = _make_optimizers(make_exp(1), variables["params"], steps_per_epoch=1)
+    step_b = steps_lib.make_train_step(model, crit, tx_b, donate=False)
+    st_b = steps_lib.create_train_state(variables, tx_b)
+    st_b, _ = step_b(st_b, {"image": jnp.asarray(x), "label": jnp.asarray(y)})
+
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+        ),
+        jax.device_get(st_a.params), jax.device_get(st_b.params),
+    )
