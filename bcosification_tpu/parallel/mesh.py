@@ -22,6 +22,7 @@ __all__ = [
     "shard_batch",
     "replicate",
     "local_device_count",
+    "is_main_process",
 ]
 
 DATA_AXIS = "data"
@@ -67,3 +68,15 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
 
 def local_device_count() -> int:
     return jax.local_device_count()
+
+
+def is_main_process() -> bool:
+    """True on the host that owns all file I/O (checkpoints, index, loggers).
+
+    On a multi-host pod every process runs the same training loop; with the
+    TrainState replicated, process 0's device_get copy is complete, so only
+    it writes — concurrent writers to one save_dir corrupt index.json and the
+    tfevents stream (the reference gets this from PL's rank_zero_only,
+    ref trainer.py:974-1017 / rank_zero_info call sites).
+    """
+    return jax.process_index() == 0

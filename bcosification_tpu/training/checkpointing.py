@@ -59,6 +59,13 @@ class CheckpointManager:
 
     # -- save ---------------------------------------------------------------------
     def save(self, state, epoch: int, metrics: Optional[Dict[str, float]] = None):
+        from bcosification_tpu.parallel.mesh import is_main_process
+
+        if not is_main_process():
+            # multi-host: the TrainState is replicated, so process 0's copy is
+            # complete — every other host skips the write entirely (concurrent
+            # writers corrupt index.json and the orbax tree)
+            return
         assert self._checkpointer is not None, "orbax not available"
         path = (self.ckpt_dir / f"epoch_{epoch}").absolute()
         if path.exists():

@@ -103,7 +103,11 @@ class Trainer:
         self.metrics_history: Dict[str, list] = {}
         from bcosification_tpu.training.loggers import setup_loggers
 
-        self.loggers = setup_loggers(self.args, self.save_dir)
+        # multi-host: only process 0 opens logger backends / writes metric
+        # files (PL rank_zero_only semantics); the metric history itself is
+        # still tracked everywhere (it's cheap and keeps behaviour identical)
+        self._io_process = mesh_lib.is_main_process()
+        self.loggers = setup_loggers(self.args, self.save_dir) if self._io_process else []
         for lg in self.loggers:
             lg.log_hparams(self.config)
 
@@ -131,6 +135,8 @@ class Trainer:
     def _log_metrics(self, epoch: int, metrics: Dict[str, float]):
         for k, v in metrics.items():
             self.metrics_history.setdefault(k, []).append((epoch, float(v)))
+        if not self._io_process:
+            return
         mdir = self.save_dir / "metrics"
         mdir.mkdir(exist_ok=True)
         with gzip.open(mdir / "metrics.json.gz", "wt") as f:
@@ -493,6 +499,9 @@ class Trainer:
         """ExplanationsLogger equivalent (explanation_logger.py:59-309): fixed
         val images -> explanation-mode RGBA maps saved under explanations/."""
         from bcosification_tpu.explain.core import make_explain_fn
+
+        if not self._io_process:
+            return
 
         try:
             loader = datamodule.val_dataloader()

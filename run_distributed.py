@@ -6,7 +6,13 @@ Replaces the reference's SLURM/submitit wrapper
 same script; `jax.distributed.initialize()` wires the hosts into one JAX
 process group (the TorchDistributedEnvironment().export() analogue,
 run_with_submitit.py:40-42), the data mesh then spans every chip in the pod
-and the train loop shards the global batch across hosts.
+and the train loop shards the global batch across hosts. Only process 0
+writes checkpoints/metrics/logs (parallel.mesh.is_main_process).
+
+A failed `jax.distributed.initialize()` is FATAL by default: a mis-configured
+pod silently training single-host is the worst failure mode (burns the whole
+pod's quota producing a model nobody asked for). Pass --single-host-ok to
+explicitly allow the single-host fallback for local/debug runs.
 
 Preemption recovery (submitit auto-requeue, run_with_submitit.py:46-49) is
 inherent: training always resumes from the last checkpoint, so the pod
@@ -19,17 +25,42 @@ Usage (on every pod host):
 import sys
 
 
-def main():
+def initialize_distributed(argv=None, _initialize=None):
+    """Init the JAX process group; returns True if multi-host is live.
+
+    Consumes --single-host-ok from argv (so train.py's parser never sees
+    it). Raises RuntimeError on init failure unless that flag was passed.
+    ``_initialize`` is injectable for tests.
+    """
+    argv = sys.argv if argv is None else argv
+    single_host_ok = "--single-host-ok" in argv
+    if single_host_ok:
+        argv.remove("--single-host-ok")
+
     import jax
 
+    init = _initialize or jax.distributed.initialize
     try:
-        jax.distributed.initialize()  # auto-detects TPU pod topology
-        print(
-            f"jax.distributed: process {jax.process_index()}/{jax.process_count()}, "
-            f"{jax.local_device_count()} local / {jax.device_count()} global devices"
-        )
-    except Exception as e:  # single-host fallback
-        print(f"single-host run ({e})")
+        init()  # auto-detects TPU pod topology
+    except Exception as e:
+        if single_host_ok:
+            print(f"single-host run (--single-host-ok; init failed: {e})")
+            return False
+        raise RuntimeError(
+            "jax.distributed.initialize() failed — refusing to silently "
+            "fall back to a single-host run on what may be a mis-configured "
+            "pod. Pass --single-host-ok to allow the fallback for "
+            f"local/debug runs. Original error: {e}"
+        ) from e
+    print(
+        f"jax.distributed: process {jax.process_index()}/{jax.process_count()}, "
+        f"{jax.local_device_count()} local / {jax.device_count()} global devices"
+    )
+    return jax.process_count() > 1
+
+
+def main():
+    initialize_distributed()
 
     from train import main as train_main
 
