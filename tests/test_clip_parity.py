@@ -124,3 +124,64 @@ def test_bcosified_clip_student_b1_exact(rng):
         tmodel.visual.attnpool.positional_embedding.data.zero_()
         want = tmodel.visual(xt).numpy()
     np.testing.assert_allclose(got, want, rtol=1e-2, atol=2e-3)
+
+
+@needs_reference
+def test_load_state_dict_file_torchscript_roundtrip(rng, tmp_path, monkeypatch):
+    """The checkpoint-FILE import seam (clip/load.py::load_state_dict_file):
+    a real torchscript archive (fp16, like OpenAI's published .pt files) must
+    load into the same arrays as the in-memory state_dict path and build an
+    equivalent visual tower. Ref: CLIP/clip/clip.py:94, model.py:400-438."""
+    import torch
+
+    from bcosification_tpu.clip.load import load_state_dict_file
+
+    tmodel = _torch_clip()
+    sd_mem = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+
+    img = torch.randn(1, 3, 64, 64)
+    toks = torch.randint(1, 60, (1, 16))
+    with torch.no_grad():
+        traced = torch.jit.trace(tmodel, (img, toks), strict=False)
+    traced = traced.half()  # OpenAI ships fp16 archives
+    archive = tmp_path / "RN50.pt"
+    traced.save(str(archive))
+
+    monkeypatch.setenv("CLIP_WEIGHTS_PATH", str(archive))
+    monkeypatch.delenv("CLIP_WEIGHTS_DIR", raising=False)
+    sd_file = load_state_dict_file("RN50")
+
+    float_keys = {k for k, v in sd_mem.items() if v.dtype == np.float32}
+    assert float_keys <= set(sd_file), sorted(float_keys - set(sd_file))[:5]
+    for k in sorted(float_keys):
+        assert sd_file[k].dtype == np.float32  # fp16 -> fp32 (.float())
+        np.testing.assert_allclose(
+            sd_file[k], sd_mem[k], rtol=2e-3, atol=2e-3, err_msg=k
+        )
+
+    # the file-loaded dict must drive the same build path as the in-memory one
+    from bcosification_tpu.bcosify.clip_import import build_clip_teacher_visual
+    from bcosification_tpu.clip.model import config_from_state_dict
+
+    cfg = config_from_state_dict(sd_file)
+    assert cfg["vision_layers"] == TINY["vision_layers"]
+    visual, vv = build_clip_teacher_visual(sd_file, cfg)
+    visual2, vv2 = build_clip_teacher_visual(sd_mem, cfg)
+    x = jnp.asarray(rng.random((2, 64, 64, 3)).astype(np.float32))
+    got = np.asarray(visual.apply(vv, x))
+    want = np.asarray(visual2.apply(vv2, x))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_load_state_dict_file_npz_and_dir_resolution(tmp_path, monkeypatch):
+    """CLIP_WEIGHTS_DIR/<name>.npz resolution branch."""
+    from bcosification_tpu.clip.load import load_state_dict_file
+
+    np.savez(tmp_path / "ViT-B-32.npz", **{"visual.proj": np.ones((4, 2), np.float32)})
+    monkeypatch.delenv("CLIP_WEIGHTS_PATH", raising=False)
+    monkeypatch.setenv("CLIP_WEIGHTS_DIR", str(tmp_path))
+    sd = load_state_dict_file("ViT-B/32")
+    np.testing.assert_array_equal(sd["visual.proj"], np.ones((4, 2), np.float32))
+
+    with pytest.warns(UserWarning, match="random init"):
+        assert load_state_dict_file("RN50x64") is None
