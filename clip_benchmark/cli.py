@@ -185,6 +185,12 @@ def run(args):
         cosine_power=args.cosine_power,
         experiment_path=args.experiment_path,
     )
+    if str(args.model).count("nllb-clip") > 0:
+        # ref cli.py:262-264: NLLB-CLIP tokenizers must be pointed at the
+        # benchmark language before any text is encoded
+        from clip_benchmark.models.nllb_clip import set_language
+
+        set_language(tokenizer, args.language)
 
     from bcosification_tpu.data.loader import DataLoader
 

@@ -18,7 +18,9 @@ __all__ = ["evaluate"]
 
 
 def evaluate(model_bundle, loader) -> Dict[str, float]:
-    encode_img = jax.jit(model_bundle.encode_image)
+    from clip_benchmark.models import jit_encode_image
+
+    encode_img = jit_encode_image(model_bundle)
     correct = total = 0
     for batch in loader:
         images, caps_batch = batch

@@ -25,7 +25,9 @@ __all__ = ["featurize", "train_linear_head", "find_peak", "evaluate"]
 def featurize(model_bundle, loader, cache_path: Optional[str] = None):
     if cache_path and Path(cache_path + "_x.npy").exists():
         return np.load(cache_path + "_x.npy"), np.load(cache_path + "_y.npy")
-    encode = jax.jit(model_bundle.encode_image)
+    from clip_benchmark.models import jit_encode_image
+
+    encode = jit_encode_image(model_bundle)
     xs, ys = [], []
     for batch in loader:
         images, target = batch if isinstance(batch, (tuple, list)) else (

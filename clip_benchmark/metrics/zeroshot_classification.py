@@ -22,10 +22,20 @@ __all__ = ["zero_shot_classifier", "run_classification", "evaluate", "average_pr
 def zero_shot_classifier(model_bundle, classnames, templates, batch_classes: int = 16):
     """Build [D, C] zeroshot weights with the model's text tower (or the
     vanilla CLIP RN50 fallback for B-cos image-only models,
-    zeroshot_classification.py:54-58)."""
+    zeroshot_classification.py:54-58). External torch-backed bundles
+    (ja_clip/nllb_clip/open_clip) have no JAX text model; their
+    encode_texts does the prompt-ensembling in numpy."""
+    text_model, text_vars = model_bundle.text_model, model_bundle.text_vars
+    if text_model is None:
+        weights = []
+        for c in classnames:
+            emb = np.asarray(model_bundle.encode_texts([t.format(c) for t in templates]))
+            emb = emb / np.linalg.norm(emb, axis=-1, keepdims=True)
+            emb = emb.mean(axis=0)
+            weights.append(emb / np.linalg.norm(emb))
+        return jnp.asarray(np.stack(weights, axis=1))  # [D, C]
     from bcosification_tpu.training.zeroshot import zeroshot_classifier as zs
 
-    text_model, text_vars = model_bundle.text_model, model_bundle.text_vars
     return zs(text_model, text_vars, classnames, templates, batch_classes)
 
 
@@ -35,10 +45,12 @@ def run_classification(model_bundle, classifier, loader, cosine_power: int = 0):
 
     encode = model_bundle.encode_image
 
-    @jax.jit
     def step(images):
-        feats = encode(images)
+        feats = jnp.asarray(encode(images))
         return zeroshot_predict_logits(feats, classifier, cosine_power)
+
+    if getattr(model_bundle, "jittable", True):
+        step = jax.jit(step)
 
     all_logits, all_targets = [], []
     for batch in loader:

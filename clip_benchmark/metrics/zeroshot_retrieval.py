@@ -17,7 +17,9 @@ __all__ = ["evaluate"]
 
 
 def evaluate(model_bundle, loader, recall_k_list: Sequence[int] = (5,)) -> Dict[str, float]:
-    encode_img = jax.jit(model_bundle.encode_image)
+    from clip_benchmark.models import jit_encode_image
+
+    encode_img = jit_encode_image(model_bundle)
     img_feats: List[np.ndarray] = []
     captions: List[str] = []
     img_of_caption: List[int] = []

@@ -41,14 +41,31 @@ class ModelBundle:
     text_vars: Any
     tokenizer: Callable
     cosine_power: int = 0
+    # external (torch-backed) models: a direct text encoder instead of the
+    # JAX text_model/apply path, and jittable=False so metrics call
+    # encode_image eagerly (it returns numpy, not traced arrays)
+    encode_texts_fn: Optional[Callable] = None
+    jittable: bool = True
 
     def encode_texts(self, texts: List[str], batch: int = 256) -> np.ndarray:
-        encode = jax.jit(lambda v, t: self.text_model.apply(v, t))
         outs = []
+        if self.encode_texts_fn is not None:
+            for i in range(0, len(texts), batch):
+                outs.append(np.asarray(self.encode_texts_fn(texts[i : i + batch])))
+            return np.concatenate(outs)
+        encode = jax.jit(lambda v, t: self.text_model.apply(v, t))
         for i in range(0, len(texts), batch):
             tokens = jnp.asarray(self.tokenizer(texts[i : i + batch]))
             outs.append(np.asarray(encode(self.text_vars, tokens)))
         return np.concatenate(outs)
+
+
+def jit_encode_image(model_bundle) -> Callable:
+    """jax.jit the bundle's image encoder when it is a traced-JAX function;
+    external torch-backed bundles (ja_clip/nllb_clip/open_clip) run eagerly."""
+    if getattr(model_bundle, "jittable", True):
+        return jax.jit(model_bundle.encode_image)
+    return model_bundle.encode_image
 
 
 def _clip_eval_transform(n_px: int = 224, normalize: bool = False):
@@ -152,19 +169,15 @@ def load_clip(
         bundle.text2concept = t2c  # caller must fit_aligner on an alignment set
         return bundle, transform, tok
     if model_type == "open_clip":
-        raise NotImplementedError(
-            "open_clip loading is not bundled in the TPU build; use "
-            "standard_clip (OpenAI checkpoints) or bcos_clip."
-        )
-    if model_type in ("ja_clip", "nllb_clip"):
-        # reference: CLIP_benchmark/clip_benchmark/models/{japanese_clip,
-        # nllb_clip}.py — thin wrappers over the external `japanese_clip` /
-        # NLLB packages, which aren't available in this offline build; the
-        # graceful-import behaviour mirrors the reference's optional deps.
-        raise NotImplementedError(
-            f"{model_type} requires the external "
-            f"{'rinna japanese_clip' if model_type == 'ja_clip' else 'NLLB-CLIP'}"
-            " package (not bundled offline); multilingual eval is available "
-            "through standard_clip with a custom tokenizer instead."
-        )
+        from clip_benchmark.models.open_clip import load_open_clip
+
+        return load_open_clip(model_name, pretrained, cache_dir=cache_dir)
+    if model_type == "ja_clip":
+        from clip_benchmark.models.japanese_clip import load_japanese_clip
+
+        return load_japanese_clip(pretrained, cache_dir=cache_dir)
+    if model_type == "nllb_clip":
+        from clip_benchmark.models.nllb_clip import load_nllb_clip
+
+        return load_nllb_clip(model_name, pretrained, cache_dir=cache_dir)
     raise ValueError(f"unknown model_type {model_type!r}")

@@ -187,12 +187,12 @@ def test_captioning_requires_generate(bundle):
 
 
 def test_gated_model_types_informative():
-    from clip_benchmark.models import MODEL_TYPES, load_clip
+    """External model types are import-gated with install hints (the full
+    loader shapes are tested in tests/test_external_models.py)."""
+    from clip_benchmark.models import MODEL_TYPES
 
     assert "ja_clip" in MODEL_TYPES and "nllb_clip" in MODEL_TYPES
-    for mt in ("ja_clip", "nllb_clip"):
-        with pytest.raises(NotImplementedError, match="external"):
-            load_clip(model_type=mt, model_name="x", pretrained="y")
+    assert "open_clip" in MODEL_TYPES
 
 
 def test_multilabel_metrics_counts():
