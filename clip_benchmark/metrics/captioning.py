@@ -172,13 +172,15 @@ def evaluate(model_bundle, loader, verbose: bool = False) -> Dict[str, float]:
             refs = refs if isinstance(refs, (list, tuple)) else [refs]
             candidates.append(ptb_tokenize(pred))
             references.append([ptb_tokenize(t) for t in refs])
+    from clip_benchmark.metrics.meteor import meteor
+
     bleus = bleu_scores(candidates, references)
     metrics = {
         **{f"Bleu_{i+1}": b for i, b in enumerate(bleus)},
-        "METEOR": float("nan"),  # requires the Java METEOR toolchain
+        "METEOR": meteor(candidates, references),  # pure-Python (see meteor.py)
         "ROUGE_L": rouge_l(candidates, references),
         "CIDEr": cider_d(candidates, references),
-        "SPICE": float("nan"),  # requires the Java SPICE toolchain
+        "SPICE": float("nan"),  # requires the Java SPICE scene-graph toolchain
     }
     if verbose:
         for k, v in metrics.items():

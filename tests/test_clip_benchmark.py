@@ -175,7 +175,11 @@ def test_captioning_evaluate_with_generative_bundle():
     metrics = captioning.evaluate(GenBundle(), data)
     # corpus-level: image 1 matches (3/3 unigrams), image 2 contributes 1/3
     assert metrics["Bleu_1"] == pytest.approx(4 / 6)
-    assert np.isnan(metrics["METEOR"])
+    # image 1 is a perfect 3-token match (1 - 0.5/27); image 2 matches only
+    # "a" (P=1/3, R=1/3, Fmean=1/3, penalty=0.5 -> 1/6); corpus = mean
+    want_meteor = ((1 - 0.5 / 27) + (1 / 3) * 0.5) / 2
+    assert metrics["METEOR"] == pytest.approx(want_meteor)
+    assert np.isnan(metrics["SPICE"])  # documented-absent (Java scene graphs)
     assert "CIDEr" in metrics and np.isfinite(metrics["CIDEr"])
 
 
@@ -218,3 +222,66 @@ def test_cc3m_config_names_match_reference_pattern():
         "resnet_50_clip_b2_noBias_randomResizedCrop_cyclicLR_sigLip_kd_CC3M_bcosification"
         in c
     )
+
+
+def test_porter_stemmer_vectors():
+    """Against NLTK's PorterStemmer in ORIGINAL_ALGORITHM mode (the classic
+    Porter 1980 definition this module implements)."""
+    pytest.importorskip("nltk")
+    from nltk.stem.porter import PorterStemmer
+
+    from clip_benchmark.metrics.meteor import porter_stem
+
+    oracle = PorterStemmer(mode="ORIGINAL_ALGORITHM")
+    words = """caresses ponies ties caress cats feed agreed plastered bled
+        motoring sing conflated troubled sized hopping tanned falling hissing
+        fizzed failing filing happy sky relational conditional rational
+        valency hesitancy digitizer conformably radically differently vilely
+        analogously vietnamization predication operator feudalism decisiveness
+        hopefulness callousness formality sensitivity sensibility triplicate
+        formative formalize electricity electrical hopeful goodness revival
+        allowance inference airliner gyroscopic adjustable defensible irritant
+        replacement adjustment dependent adoption homologous communism
+        activate angularity effective bowdlerize probate rate cease controll
+        roll generalization oscillators controlling university universal
+        maximum realization mitochondria powerhouse quantum riding rides
+        running runs walked walking jumped quickly beautiful beautifully
+        organization organizer organized stemming stemmed argues arguing
+        argued argument""".split()
+    for w in words:
+        assert porter_stem(w) == oracle.stem(w), (
+            w, porter_stem(w), oracle.stem(w)
+        )
+
+
+def test_meteor_known_values():
+    from clip_benchmark.metrics.meteor import meteor, meteor_segment
+
+    # identical 3-token sentences: P=R=1, one chunk -> 1 - 0.5*(1/3)^3
+    c = ["the", "cat", "sat"]
+    assert meteor_segment(c, [c]) == pytest.approx(1 - 0.5 / 27)
+    # disjoint -> 0
+    assert meteor_segment(["dog"], [["bird"]]) == 0.0
+    # stem-stage matches: cats~cat, running~runs -> m=2, 1 chunk
+    assert meteor_segment(["cats", "running"], [["cat", "runs"]]) == pytest.approx(
+        1 - 0.5 / 8
+    )
+    # word order breaks chunks: reversed 2-token match -> 2 chunks,
+    # penalty = 0.5 * (2/2)^3 = 0.5
+    assert meteor_segment(["cat", "the"], [["the", "cat"]]) == pytest.approx(0.5)
+    # best reference wins; corpus = mean over segments
+    score = meteor(
+        [c, ["dog"]],
+        [[["wrong", "words"], c], [["bird"]]],
+    )
+    assert score == pytest.approx((1 - 0.5 / 27) / 2)
+
+
+def test_captioning_metrics_include_meteor():
+    from clip_benchmark.metrics.captioning import ptb_tokenize
+    from clip_benchmark.metrics.meteor import meteor
+
+    cands = [ptb_tokenize("A man riding a horse.")]
+    refs = [[ptb_tokenize("a man rides a horse"), ptb_tokenize("someone on a horse")]]
+    m = meteor(cands, refs)
+    assert 0.5 < m <= 1.0  # rides~riding via stems, most unigrams align
