@@ -18,9 +18,47 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["register", "list_available", "load_model"]
+__all__ = [
+    "register",
+    "list_available",
+    "load_model",
+    "pretrained_urls",
+    "pretrained_url",
+]
 
 _REGISTRY: Dict[str, Callable] = {}
+
+# -----------------------------------------------------------------------------
+# released-weights table (ref pretrained.py:44-117, extracted to a JSON asset)
+# -----------------------------------------------------------------------------
+_URLS_CACHE: Optional[Dict[str, Dict[str, str]]] = None
+
+
+def pretrained_urls() -> Dict[str, Dict[str, str]]:
+    """{base_network: {experiment_name: url}} — the reference's released
+    B-cos-v2 checkpoint table. Zero-egress environments can't download;
+    fetch the .pth elsewhere and convert with
+    scripts/import_torch_checkpoint.py into $BCOS_WEIGHTS_DIR."""
+    global _URLS_CACHE
+    if _URLS_CACHE is None:
+        import json
+
+        path = Path(__file__).parent / "assets" / "pretrained_urls.json"
+        _URLS_CACHE = json.loads(path.read_text())
+    return _URLS_CACHE
+
+
+def pretrained_url(name: str) -> Optional[str]:
+    """Find the release URL for an entrypoint / experiment name. Accepts both
+    registry names ('resnet18') and experiment names ('resnet_18')."""
+    import re
+
+    variants = {name, re.sub(r"([a-z])(\d)", r"\1_\2", name)}
+    for group in pretrained_urls().values():
+        for v in variants:
+            if v in group:
+                return group[v]
+    return None
 
 
 def register(fn=None, name: Optional[str] = None):
@@ -36,16 +74,22 @@ def list_available() -> List[str]:
 
 
 def _load_weights_npz(name: str, variables):
+    url = pretrained_url(name)
+    hint = (
+        f" Released reference weights: {url} — download and convert with "
+        "scripts/import_torch_checkpoint.py."
+        if url
+        else " Export trained checkpoints with scripts/strip_checkpoints.py."
+    )
     root = os.getenv("BCOS_WEIGHTS_DIR")
     if not root:
         warnings.warn(
-            f"BCOS_WEIGHTS_DIR not set: '{name}' returns random init. Export "
-            "trained checkpoints with scripts/strip_checkpoints.py."
+            f"BCOS_WEIGHTS_DIR not set: '{name}' returns random init.{hint}"
         )
         return variables
     path = Path(root) / f"{name}.npz"
     if not path.exists():
-        warnings.warn(f"No weights at {path}; random init.")
+        warnings.warn(f"No weights at {path}; random init.{hint}")
         return variables
     from bcosification_tpu.bcosify.torch_import import fill_variables
 

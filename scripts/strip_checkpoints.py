@@ -43,7 +43,8 @@ def main():
     flat = flatten_variables(variables)
     out_dir = Path(args.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    tmp = out_dir / f"{args.experiment_name}.npz.tmp"
+    # np.savez appends '.npz' to names that lack it -> tmp must end in .npz
+    tmp = out_dir / f"{args.experiment_name}.tmp.npz"
     np.savez(tmp, **flat)
     sha = hashlib.sha256(tmp.read_bytes()).hexdigest()[:8]
     suffix = "_ema" if args.ema else ""
