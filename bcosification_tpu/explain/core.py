@@ -31,6 +31,30 @@ __all__ = [
 ]
 
 
+def _drop_scale_residuals(apply_fn: Callable) -> Callable:
+    """Wrap the explain forward so the VJP does NOT store the per-layer
+    dynamic-scale tensors (tagged 'bcos_scale' in ops.bcos.dynamic_scale).
+
+    Measured on v5e (RN50 fwd+explain bf16 batch 128, round 2): the default
+    autodiff residualises scale = |u|/n per conv layer — an activation-sized
+    extra fusion output (~205 MB each in stage 1). Both inputs of that
+    expression (the conv output u and the tiny patch-norm n) are materialised
+    anyway, so `save_anything_except_these_names` lets the backward recompute
+    the scale inside its cotangent fusion: same FLOPs class, one fewer
+    activation-sized HBM write+read per layer. Unlike a custom_vjp, this
+    keeps the whole graph visible to XLA (no fusion barriers). MEASURED
+    SLOWER anyway: 3143 img/s vs 4123 default (the checkpoint pass appears to
+    residualise duplicate pre/post-stop_gradient copies); opt-in via
+    BCOS_EXPLAIN_REMAT=1, default off. Kept for re-testing on newer XLA.
+    """
+    import os
+
+    if os.getenv("BCOS_EXPLAIN_REMAT", "0") != "1":
+        return apply_fn
+    policy = jax.checkpoint_policies.save_anything_except_these_names("bcos_scale")
+    return jax.checkpoint(apply_fn, policy=policy)
+
+
 def dynamic_linear_weights(
     apply_fn: Callable[[jax.Array], jax.Array],
     x: jax.Array,
@@ -42,7 +66,7 @@ def dynamic_linear_weights(
     ``idx`` None explains the prediction (argmax); otherwise the given class.
     One fused forward+VJP.
     """
-    out, vjp_fn = jax.vjp(apply_fn, x)
+    out, vjp_fn = jax.vjp(_drop_scale_residuals(apply_fn), x)
     assert out.ndim == 2, f"expected (batch, classes) logits, got {out.shape}"
     sel = jnp.argmax(out, axis=1) if idx is None else jnp.broadcast_to(idx, (out.shape[0],))
     cotangent = jax.nn.one_hot(sel, out.shape[-1], dtype=out.dtype)

@@ -75,11 +75,18 @@ def _conv_bn_act(conv_mod, norm_mod, act_mod, x, f, hint):
     declared through the same module scopes either way, so checkpoints and
     param paths are identical. ``act_mod=None`` means no activation.
     """
+    from bcosification_tpu.ops.bcos import explain_layer_enabled
     from bcosification_tpu.ops.pallas.bcos_conv1x1 import fusion_requested
 
     relu = isinstance(act_mod, ReLU)
     if (
-        fusion_requested()
+        (
+            fusion_requested()
+            # explain mode folds the eval-BN affine into the whole-layer
+            # custom VJP by default (ops.bcos.b2_explain_layer) — same values,
+            # residual-free backward
+            or (f.get("explain", False) and explain_layer_enabled())
+        )
         and not f["train"]
         and isinstance(conv_mod, (BcosConv2d, BcosifyConv2d))
         and isinstance(norm_mod, norms._RunningVarNorm)

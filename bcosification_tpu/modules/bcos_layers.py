@@ -189,9 +189,35 @@ def _epilogue_result(mod, x, w_hwio, bias, b, explain, x_sumsq, epilogue):
     otherwise); anything else computes the plain B-cos conv and applies the
     affine/ReLU explicitly — identical semantics either way.
     """
-    from bcosification_tpu.ops.pallas.bcos_conv1x1 import bcos_conv1x1_bn_act
+    from bcosification_tpu.ops.pallas.bcos_conv1x1 import (
+        bcos_conv1x1_bn_act,
+        fusion_requested,
+    )
 
     mult, add, relu = epilogue
+    if (
+        explain
+        and not fusion_requested()  # explicit BCOS_FUSED=1 keeps Pallas priority
+        and isinstance(b, (int, float))
+        and b == 2
+        and mod.max_out == 1
+        and ops.explain_layer_enabled()
+    ):
+        # whole-layer custom VJP: no activation-sized scale residual (see
+        # ops.bcos.b2_explain_layer / explain_layer_enabled for the numbers)
+        return ops.b2_explain_layer(
+            x,
+            w_hwio,
+            bias,
+            mult,
+            add,
+            x_sumsq if mod.groups == 1 else None,
+            ops._pair(mod.stride),
+            ops._pair(mod.padding),
+            ops._pair(mod.dilation),
+            mod.groups,
+            relu,
+        )
     if _fused_1x1_ok(mod, b):
         w2 = w_hwio.reshape(w_hwio.shape[2], w_hwio.shape[3])
         return bcos_conv1x1_bn_act(

@@ -99,6 +99,21 @@ def _conv(x, w, stride, padding, dilation, groups):
     # bf16 inputs ride the MXU, which accumulates in fp32 regardless of the
     # stored output type (preferred_element_type's transpose rule mis-types the
     # VJP in this JAX version, so we rely on the MXU's native accumulation).
+    import os
+
+    if (
+        os.getenv("BCOS_1X1_DOT", "0") == "1"
+        and w.shape[0] == 1 and w.shape[1] == 1 and groups == 1
+        and _pair(stride) == (1, 1) and _pair(padding) == (0, 0)
+    ):
+        # 1x1/s1/p0 conv as a matmul over the channel axis: gives XLA's dot
+        # path (different fusion/tiling decisions than the conv path)
+        n, h, ww, c = x.shape
+        y = jnp.dot(
+            x.reshape(-1, c), w.reshape(c, -1),
+            precision=lax.Precision.HIGHEST if x.dtype == jnp.float32 else None,
+        )
+        return y.reshape(n, h, ww, -1)
     return lax.conv_general_dilated(
         x,
         w,
@@ -318,6 +333,105 @@ def _b2_explain_conv_bwd(stride, padding, dilation, groups, res, ct):
 _b2_explain_conv.defvjp(_b2_explain_conv_fwd, _b2_explain_conv_bwd)
 
 
+def explain_layer_enabled() -> bool:
+    """Whole-layer explain VJP dispatch (BCOS_EXPLAIN_LAYER=1, opt-in).
+
+    Round-2 measurement (RN50 fwd+explain, bf16, batch 128, v5e): the default
+    autodiff stores an activation-sized dynamic-scale residual per conv layer
+    (the 205 MB two-output fusions in the HLO); stage-1 backward alone was
+    11.1 ms for ~1.3 ms of conv compute — pure HBM traffic. The whole-layer
+    custom VJP below removes that residual entirely by reconstructing the
+    scale from the layer's OWN OUTPUT (stored anyway as the next layer's
+    input): scale = |u|/n = sqrt(|z - add| / (|mult| n)), with the ReLU gate
+    zeroing exactly the region where z is not invertible. Unlike the round-1
+    attempts (scale-mul custom_vjp: 3636 img/s; save_only_these_names remat:
+    2930), the custom_vjp boundary here coincides with the layer output, so
+    no extra tensor materialises.
+    """
+    import os
+
+    return os.getenv("BCOS_EXPLAIN_LAYER", "0") == "1"
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+def b2_explain_layer(
+    x, wn, bias, mult, add, x_sumsq, stride, padding, dilation, groups, relu
+):
+    """Fused b=2 B-cos conv + per-channel affine (folded eval BN) + optional
+    ReLU in EXPLANATION mode, with a residual-free backward.
+
+    Value (identical to the composed path, bcosconv2d.py:153-231 +
+    batchnorm_uncentered.py eval affine):
+        u = conv(x, wn) [+ bias];  n = patch norms of x
+        y = (|u| / n) * u;  z = y * mult [+ add];  [z = relu(z)]
+
+    VJP (explanation mode: |u|/n and n are detached, BN affine is constant):
+        ct_u = ct * relu'(z) * mult * scale
+        scale = |u|/n = sqrt(|z - add| / (|mult| * n))   (from the output!)
+        dx    = conv^T(ct_u)
+    Residuals: (z, n, wn, mult, add) — z is the layer output the next layer
+    stores anyway and n is C-times smaller than an activation, so the
+    per-layer activation-sized scale residual write+read disappears.
+    """
+    z, _ = _b2_layer_fwd_value(
+        x, wn, bias, mult, add, x_sumsq, stride, padding, dilation, groups, relu
+    )
+    return z
+
+
+def _b2_layer_fwd_value(
+    x, wn, bias, mult, add, x_sumsq, stride, padding, dilation, groups, relu
+):
+    u = _conv(x, wn.astype(x.dtype), stride, padding, dilation, groups)
+    if bias is not None:
+        u = u + jnp.reshape(bias, (1, 1, 1, -1)).astype(u.dtype)
+    n = patch_norms(
+        x, wn.shape[:2], stride=stride, padding=padding, dilation=dilation,
+        groups=groups, out_channels=wn.shape[-1], x_sumsq=x_sumsq,
+    ).astype(u.dtype)
+    y = (jnp.abs(u) / n) * u
+    z = y * jnp.reshape(mult, (1, 1, 1, -1)).astype(y.dtype)
+    if add is not None:
+        z = z + jnp.reshape(add, (1, 1, 1, -1)).astype(z.dtype)
+    if relu:
+        z = jnp.maximum(z, 0)
+    return z, n
+
+
+def _b2_explain_layer_fwd(
+    x, wn, bias, mult, add, x_sumsq, stride, padding, dilation, groups, relu
+):
+    z, n = _b2_layer_fwd_value(
+        x, wn, bias, mult, add, x_sumsq, stride, padding, dilation, groups, relu
+    )
+    # x rides along for linear_transpose's aval only — never read in the bwd
+    return z, (z, n, x, wn, bias, mult, add, x_sumsq)
+
+
+def _b2_explain_layer_bwd(stride, padding, dilation, groups, relu, res, ct):
+    z, n, x, wn, bias, mult, add, x_sumsq = res
+    m = jnp.reshape(mult, (1, 1, 1, -1)).astype(z.dtype)
+    zz = z if add is None else z - jnp.reshape(add, (1, 1, 1, -1)).astype(z.dtype)
+    # scale recovered from the output: |y| = |zz|/|m| => |u|/n = sqrt(|y|/n)
+    ct_u = ct * (jnp.sign(m) * jnp.sqrt(jnp.abs(m))) * jnp.sqrt(jnp.abs(zz) / n)
+    if relu:
+        ct_u = jnp.where(z > 0, ct_u, jnp.zeros_like(ct_u))
+
+    def conv_fn(xx):
+        return _conv(xx, wn.astype(x.dtype), stride, padding, dilation, groups)
+
+    (dx,) = jax.linear_transpose(conv_fn, jax.ShapeDtypeStruct(x.shape, x.dtype))(
+        ct_u.astype(z.dtype)
+    )
+    ct_bias = None if bias is None else jnp.zeros_like(bias)
+    ct_add = None if add is None else jnp.zeros_like(add)
+    ct_ssq = None if x_sumsq is None else jnp.zeros_like(x_sumsq)
+    return dx, jnp.zeros_like(wn), ct_bias, jnp.zeros_like(mult), ct_add, ct_ssq
+
+
+b2_explain_layer.defvjp(_b2_explain_layer_fwd, _b2_explain_layer_bwd)
+
+
 def dynamic_scale(
     out: jax.Array,
     norm: jax.Array,
@@ -332,12 +446,20 @@ def dynamic_scale(
     ``b`` static 2 takes the fast path |out|/norm; otherwise the stabilised
     (|out/norm| + 1e-6)^(b-1) power path (also used for traced/learnable b).
     """
+    from jax.ad_checkpoint import checkpoint_name
+
     mdo = _maybe_stop(out, explain)
     norm = _maybe_stop(norm, explain)
     if isinstance(b, (int, float)) and b == 2:
-        return jnp.abs(mdo) / norm
-    abs_cos = jnp.abs(mdo / norm) + COS_EPS
-    return jnp.power(abs_cos, jnp.asarray(b) - 1)
+        scale = jnp.abs(mdo) / norm
+    else:
+        abs_cos = jnp.abs(mdo / norm) + COS_EPS
+        scale = jnp.power(abs_cos, jnp.asarray(b) - 1)
+    # Named so the explain VJP can drop this activation-sized residual and
+    # recompute it from (out, norm) — both materialised anyway — inside the
+    # backward fusion (explain/core.py wraps the forward in jax.checkpoint
+    # with save_anything_except_these_names). Identity outside jax.checkpoint.
+    return checkpoint_name(scale, "bcos_scale")
 
 
 def bcos_conv2d(
