@@ -65,38 +65,59 @@ def _conv(mod, x, f, hint):
     return mod(x, **f)
 
 
-def _conv_bn_act(conv_mod, norm_mod, act_mod, x, f, hint):
-    """conv -> norm -> act, folded into one fused op call when possible.
+def _conv_bn_act(conv_mod, norm_mod, act_mod, x, f, hint, residual=None, post_act=None):
+    """conv -> norm -> act [-> +residual -> post_act], folded into one fused
+    op call when possible.
 
     Under BCOS_FUSED=1 (eval/explain only), uncentered-BN eval is a
     per-channel affine, so the norm's (mult, add) fold into the B-cos conv's
     epilogue (ops/pallas/bcos_conv1x1.py: Pallas kernel on TPU, equivalent
-    jnp otherwise) — one HBM pass instead of three. Parameters/variables are
-    declared through the same module scopes either way, so checkpoints and
-    param paths are identical. ``act_mod=None`` means no activation.
+    jnp otherwise) — one HBM pass instead of three. In explanation mode the
+    BCOS_EXPLAIN_SEGMENT / BCOS_EXPLAIN_LAYER custom-VJP variants route
+    through the same epilogue hook (ops/bcos.py has the measurements).
+    Parameters/variables are declared through the same module scopes either
+    way, so checkpoints and param paths are identical.
+
+    ``act_mod=None`` means no activation. ``residual``/``post_act`` carry the
+    torchvision block tail (skip-add, then activation) into the fold —
+    mutually exclusive with ``act_mod``.
     """
-    from bcosification_tpu.ops.bcos import explain_layer_enabled
+    from bcosification_tpu.ops.bcos import (
+        explain_layer_enabled,
+        explain_segment_enabled,
+    )
     from bcosification_tpu.ops.pallas.bcos_conv1x1 import fusion_requested
 
-    relu = isinstance(act_mod, ReLU)
+    assert act_mod is None or post_act is None
+    relu = isinstance(act_mod, ReLU) or isinstance(post_act, ReLU)
     if (
         (
             fusion_requested()
-            # explain mode folds the eval-BN affine into the whole-layer
-            # custom VJP by default (ops.bcos.b2_explain_layer) — same values,
-            # residual-free backward
-            or (f.get("explain", False) and explain_layer_enabled())
+            # explain mode folds the eval-BN affine into a custom VJP — same
+            # values, residual-free backward (ops.bcos.b2_explain_segment /
+            # b2_explain_layer)
+            or (
+                f.get("explain", False)
+                and (explain_layer_enabled() or explain_segment_enabled())
+            )
         )
         and not f["train"]
         and isinstance(conv_mod, (BcosConv2d, BcosifyConv2d))
         and isinstance(norm_mod, norms._RunningVarNorm)
         and (act_mod is None or relu or isinstance(act_mod, Identity))
+        and (post_act is None or relu or isinstance(post_act, Identity))
     ):
         mult, add = norm_mod(None, return_affine=True)
-        return conv_mod(x, **f, x_sumsq=hint, epilogue=(mult, add, relu))
+        return conv_mod(x, **f, x_sumsq=hint, epilogue=(mult, add, relu, residual))
     out = _conv(conv_mod, x, f, hint)
     out = norm_mod(out, **f)
-    return out if act_mod is None else act_mod(out, **f)
+    if act_mod is not None:
+        out = act_mod(out, **f)
+    if residual is not None:
+        out = out + residual
+    if post_act is not None:
+        out = post_act(out, **f)
+    return out
 
 
 def _ckpt(x):
@@ -144,14 +165,6 @@ class BasicBlock(nn.Module):
             self.act_layer(name="act1"),
             x, f, x_sumsq,
         ))
-        out = _conv_bn_act(
-            self.conv_layer(self.planes, kernel_size=3, padding=1, name="conv2"),
-            self.norm_layer(self.planes, name="bn2"),
-            None,
-            out, f, channel_sumsq(out),
-        )
-        if self.stochastic_depth_prob:
-            out = StochasticDepth(self.stochastic_depth_prob, "row", name="sd")(out, **f)
         if self.has_downsample:
             identity = _conv_bn_act(
                 self.conv_layer(
@@ -162,8 +175,19 @@ class BasicBlock(nn.Module):
                 None,
                 x, f, x_sumsq,
             )
-        out = out + identity
-        return _ckpt(self.act_layer(name="act_out")(out, **f))
+        conv2 = self.conv_layer(self.planes, kernel_size=3, padding=1, name="conv2")
+        bn2 = self.norm_layer(self.planes, name="bn2")
+        act_out = self.act_layer(name="act_out")
+        if self.stochastic_depth_prob:
+            out = _conv_bn_act(conv2, bn2, None, out, f, channel_sumsq(out))
+            out = StochasticDepth(self.stochastic_depth_prob, "row", name="sd")(out, **f)
+            out = act_out(out + identity, **f)
+        else:
+            out = _conv_bn_act(
+                conv2, bn2, None, out, f, channel_sumsq(out),
+                residual=identity, post_act=act_out,
+            )
+        return _ckpt(out)
 
 
 class Bottleneck(nn.Module):
@@ -203,14 +227,6 @@ class Bottleneck(nn.Module):
             self.act_layer(name="act2"),
             out, f, channel_sumsq(out),
         ))
-        out = _conv_bn_act(
-            self.conv_layer(self.planes * self.expansion, kernel_size=1, name="conv3"),
-            self.norm_layer(self.planes * self.expansion, name="bn3"),
-            None,
-            out, f, channel_sumsq(out),
-        )
-        if self.stochastic_depth_prob:
-            out = StochasticDepth(self.stochastic_depth_prob, "row", name="sd")(out, **f)
         if self.has_downsample:
             identity = _conv_bn_act(
                 self.conv_layer(
@@ -221,8 +237,21 @@ class Bottleneck(nn.Module):
                 None,
                 x, f, x_sumsq,
             )
-        out = out + identity
-        return _ckpt(self.act_layer(name="act_out")(out, **f))
+        conv3 = self.conv_layer(
+            self.planes * self.expansion, kernel_size=1, name="conv3"
+        )
+        bn3 = self.norm_layer(self.planes * self.expansion, name="bn3")
+        act_out = self.act_layer(name="act_out")
+        if self.stochastic_depth_prob:
+            out = _conv_bn_act(conv3, bn3, None, out, f, channel_sumsq(out))
+            out = StochasticDepth(self.stochastic_depth_prob, "row", name="sd")(out, **f)
+            out = act_out(out + identity, **f)
+        else:
+            out = _conv_bn_act(
+                conv3, bn3, None, out, f, channel_sumsq(out),
+                residual=identity, post_act=act_out,
+            )
+        return _ckpt(out)
 
 
 _BLOCKS = {"basic": (BasicBlock, 1), "bottleneck": (Bottleneck, 4)}

@@ -183,12 +183,57 @@ def _fused_1x1_ok(mod, b) -> bool:
 def _epilogue_result(mod, x, w_hwio, bias, b, explain, x_sumsq, epilogue):
     """Run the conv with a folded norm/act epilogue.
 
-    ``epilogue=(mult, add, relu)`` comes from a norm module's
-    ``return_affine=True`` hook. Fusable 1x1 shapes go through
-    ops.pallas.bcos_conv1x1 (Pallas on TPU under BCOS_FUSED=1, jnp
-    otherwise); anything else computes the plain B-cos conv and applies the
-    affine/ReLU explicitly — identical semantics either way.
+    ``epilogue=(mult, add, relu[, residual])`` comes from a norm module's
+    ``return_affine=True`` hook; ``residual`` is an optional skip-branch
+    tensor added before the (then post-add) ReLU — the torchvision block
+    tail. Fusable 1x1 shapes go through ops.pallas.bcos_conv1x1 (Pallas on
+    TPU under BCOS_FUSED=1, jnp otherwise); in explanation mode the
+    elementwise tail goes through ops.b2_explain_segment (residual-free
+    backward, convs left in XLA land — see explain_segment_enabled);
+    anything else computes the plain B-cos conv and applies the affine /
+    residual / ReLU explicitly — identical semantics every way.
     """
+    from bcosification_tpu.ops import guided
+    from bcosification_tpu.ops.pallas.bcos_conv1x1 import fusion_requested
+
+    mult, add, relu, *rest = epilogue
+    residual = rest[0] if rest else None
+    if (
+        explain
+        and not fusion_requested()  # explicit BCOS_FUSED=1 keeps Pallas priority
+        and isinstance(b, (int, float))
+        and b == 2
+        and mod.max_out == 1
+        and ops.explain_segment_enabled()
+        and not (relu and guided.guided_mode())
+    ):
+        u = ops._conv(
+            x, w_hwio.astype(x.dtype), mod.stride, mod.padding, mod.dilation,
+            mod.groups,
+        )
+        if bias is not None:
+            u = u + jnp.reshape(bias, (1, 1, 1, -1)).astype(u.dtype)
+        n = ops.patch_norms(
+            x, w_hwio.shape[:2], stride=mod.stride, padding=mod.padding,
+            dilation=mod.dilation, groups=mod.groups,
+            out_channels=w_hwio.shape[-1],
+            x_sumsq=x_sumsq if mod.groups == 1 else None,
+        ).astype(u.dtype)
+        return ops.b2_explain_segment(u, n, mult, add, residual, relu)
+    # The remaining branches fold (mult, add) and an in-segment ReLU only;
+    # with a residual branch the ReLU is post-add, so it is applied after.
+    inner_relu = relu if residual is None else False
+    out = _epilogue_no_residual(
+        mod, x, w_hwio, bias, b, explain, x_sumsq, (mult, add, inner_relu)
+    )
+    if residual is not None:
+        out = out + residual
+        if relu:
+            out = guided.relu(out)
+    return out
+
+
+def _epilogue_no_residual(mod, x, w_hwio, bias, b, explain, x_sumsq, epilogue):
     from bcosification_tpu.ops.pallas.bcos_conv1x1 import (
         bcos_conv1x1_bn_act,
         fusion_requested,

@@ -432,6 +432,100 @@ def _b2_explain_layer_bwd(stride, padding, dilation, groups, relu, res, ct):
 b2_explain_layer.defvjp(_b2_explain_layer_fwd, _b2_explain_layer_bwd)
 
 
+def explain_segment_enabled() -> bool:
+    """Elementwise-segment explain VJP dispatch (BCOS_EXPLAIN_SEGMENT).
+
+    Round-2 design, learning from both earlier failures:
+    - the scale-mul-only custom VJP (3636 img/s) covered too LITTLE — its
+      output boundary materialised the pre-BN tensor, splitting the conv
+      epilogue fusion in half;
+    - the whole-layer custom VJP (3887 img/s) covered too MUCH — with the
+      conv inside the opaque fwd/bwd pair, XLA lost cross-conv merges
+      (79 -> 84 convs in the HLO).
+
+    This one covers exactly the elementwise tail of a B-cos layer
+    (dynamic scale -> folded eval-BN affine -> optional residual add ->
+    optional ReLU), keeping every convolution in plain XLA land. Its only
+    residuals are the segment OUTPUT (stored anyway: it is the next conv's
+    input), the residual-branch input (stored anyway), and the patch norm
+    (C-times smaller than an activation) — so the per-layer activation-sized
+    dynamic-scale residual write+read disappears without adding any tensor
+    that wasn't already materialised.
+    """
+    import os
+
+    return os.getenv("BCOS_EXPLAIN_SEGMENT", "0") == "1"
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5,))
+def b2_explain_segment(u, n, mult, add, identity, relu):
+    """b=2 B-cos elementwise segment in EXPLANATION mode, residual-free VJP.
+
+    Value (identical to the composed default path, bcosconv2d.py:153-231
+    detach semantics + eval-BN affine + torchvision block tail):
+
+        s = |u| / n            (u: raw conv output, n: patch norms)
+        z = (s * u) * mult [+ add] [+ identity]
+        out = relu(z) if relu else z
+
+    VJP (explanation mode: s and n are detached, the affine is constant):
+
+        mask = out > 0 if relu else 1
+        zz   = out [- add] [- identity]          # == s*u*mult where mask
+        ct_u = ct * mask * sign(mult) * sqrt(|mult|) * sqrt(|zz| / n)
+               # == ct * mask * mult * s, since |zz| = |u|^2 |mult| / n
+        ct_identity = ct * mask
+
+    The scale is reconstructed from the segment's own output instead of being
+    saved, exactly; where the ReLU clipped (out == 0) the reconstruction is
+    invalid but the mask zeroes it. Catastrophic-cancellation caveat: with a
+    residual branch, zz = out - identity loses relative precision where
+    |s*u*mult| << |identity| — but there the true scale contribution is
+    itself near zero, so the absolute error in ct_u stays at rounding level.
+
+    Gradients w.r.t. n/mult/add are not needed in explanation mode; zeros.
+    """
+    out, _ = _b2_segment_value(u, n, mult, add, identity, relu)
+    return out
+
+
+def _b2_segment_value(u, n, mult, add, identity, relu):
+    scale = jnp.abs(u) / n
+    z = (scale * u) * jnp.reshape(mult, (1, 1, 1, -1)).astype(u.dtype)
+    if add is not None:
+        z = z + jnp.reshape(add, (1, 1, 1, -1)).astype(z.dtype)
+    if identity is not None:
+        z = z + identity
+    if relu:
+        z = jnp.maximum(z, 0)
+    return z, n
+
+
+def _b2_explain_segment_fwd(u, n, mult, add, identity, relu):
+    out, n = _b2_segment_value(u, n, mult, add, identity, relu)
+    return out, (out, n, mult, add, identity)
+
+
+def _b2_explain_segment_bwd(relu, res, ct):
+    out, n, mult, add, identity = res
+    m = jnp.reshape(mult, (1, 1, 1, -1)).astype(out.dtype)
+    zz = out
+    if add is not None:
+        zz = zz - jnp.reshape(add, (1, 1, 1, -1)).astype(out.dtype)
+    if identity is not None:
+        zz = zz - identity
+    ct_eff = ct
+    if relu:
+        ct_eff = jnp.where(out > 0, ct, jnp.zeros_like(ct))
+    ct_u = ct_eff * (jnp.sign(m) * jnp.sqrt(jnp.abs(m))) * jnp.sqrt(jnp.abs(zz) / n)
+    ct_identity = None if identity is None else ct_eff
+    ct_add = None if add is None else jnp.zeros_like(add)
+    return ct_u, jnp.zeros_like(n), jnp.zeros_like(mult), ct_add, ct_identity
+
+
+b2_explain_segment.defvjp(_b2_explain_segment_fwd, _b2_explain_segment_bwd)
+
+
 def dynamic_scale(
     out: jax.Array,
     norm: jax.Array,

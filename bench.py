@@ -32,9 +32,16 @@ def build():
 
 
 def make_bench_fn(net, n_iters: int):
+    import os
     from functools import partial
 
     from bcosification_tpu.explain.core import dynamic_linear_weights
+    from bcosification_tpu.explain import fast_resnet
+
+    # BCOS_FAST_EXPLAIN=1: hand-scheduled explain backward (explain/
+    # fast_resnet.py). Measured +1% over XLA autodiff on v5e (31.4 vs
+    # 31.8 ms) — kept opt-in; the default autodiff path is the benchmark.
+    use_fast = os.getenv("BCOS_FAST_EXPLAIN", "0") == "1" and fast_resnet.supports(net)
 
     @partial(jax.jit, static_argnums=(2,))
     def bench_n(variables, x, n):
@@ -44,7 +51,12 @@ def make_bench_fn(net, n_iters: int):
             def f(inp):
                 return net.apply(variables, inp, train=False, explain=True)
 
-            logits, sel, w = dynamic_linear_weights(f, xx)
+            if use_fast:
+                logits, sel, w = fast_resnet.fast_dynamic_linear_weights(
+                    net, variables, xx
+                )
+            else:
+                logits, sel, w = dynamic_linear_weights(f, xx)
             cmap = (xx * w).sum(-1)
             acc = acc + (cmap.mean() + logits.mean()).astype(jnp.float32)
             # data dependency between iterations (prevents loop-invariant

@@ -1,0 +1,128 @@
+"""The hand-scheduled explain pass and the segment custom-VJP must agree with
+the generic autodiff explain path exactly (values) / to rounding (gradients).
+
+These are the two structural variants of the explanation backward measured in
+docs/PERF.md; whichever is active, explanations must not change.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def _tiny(arch, layers):
+    from __graft_entry__ import _flagship
+
+    return _flagship(
+        input_size=64, arch=arch, inplanes=8, num_classes=10, layers=layers
+    )
+
+
+def _autodiff(net, variables, x):
+    from bcosification_tpu.explain.core import dynamic_linear_weights
+
+    def f(inp):
+        return net.apply(variables, inp, train=False, explain=True)
+
+    return dynamic_linear_weights(f, x)
+
+
+@pytest.mark.parametrize(
+    "arch,layers",
+    [("resnet50", ("bottleneck", (1, 1))), ("resnet18", ("basic", (1, 1)))],
+)
+def test_fast_explain_matches_autodiff(arch, layers):
+    from bcosification_tpu.explain import fast_resnet
+
+    net, variables = _tiny(arch, layers)
+    assert fast_resnet.supports(net)
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(4, 64, 64, 6)).astype(np.float32)
+    )
+    l0, s0, w0 = _autodiff(net, variables, x)
+    l1, s1, w1 = fast_resnet.fast_dynamic_linear_weights(net, variables, x)
+    # values follow the module path op-for-op -> identical
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+    # W: scale reconstruction differs by fp rounding only
+    w0, w1 = np.asarray(w0), np.asarray(w1)
+    assert np.linalg.norm(w0 - w1) <= 1e-5 * np.linalg.norm(w0)
+
+
+def test_fast_explain_fixed_class_index():
+    from bcosification_tpu.explain import fast_resnet
+
+    net, variables = _tiny("resnet50", ("bottleneck", (1, 1)))
+    x = jnp.asarray(
+        np.random.default_rng(1).normal(size=(2, 64, 64, 6)).astype(np.float32)
+    )
+    idx = jnp.asarray(3)
+    l0, s0, w0 = _autodiff(net, variables, x)  # warm path exists
+    from bcosification_tpu.explain.core import dynamic_linear_weights
+
+    def f(inp):
+        return net.apply(variables, inp, train=False, explain=True)
+
+    l0, s0, w0 = dynamic_linear_weights(f, x, idx)
+    l1, s1, w1 = fast_resnet.fast_dynamic_linear_weights(net, variables, x, idx)
+    assert (np.asarray(s1) == 3).all()
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+    assert np.linalg.norm(np.asarray(w0 - w1)) <= 1e-5 * np.linalg.norm(
+        np.asarray(w0)
+    )
+
+
+def test_fast_explain_rejects_unsupported():
+    from bcosification_tpu.explain import fast_resnet
+    from bcosification_tpu.models import resnet as resnet_lib
+
+    net = resnet_lib.resnet18(num_classes=10)  # from-scratch B-cos variant:
+    # PositionNorm (not running-var BN) and built-in logit layer
+    assert not fast_resnet.supports(net)
+
+
+def test_segment_vjp_matches_autodiff(monkeypatch):
+    net, variables = _tiny("resnet50", ("bottleneck", (1, 1)))
+    x = jnp.asarray(
+        np.random.default_rng(2).normal(size=(4, 64, 64, 6)).astype(np.float32)
+    )
+    monkeypatch.setenv("BCOS_EXPLAIN_SEGMENT", "0")
+    l0, s0, w0 = _autodiff(net, variables, x)
+    monkeypatch.setenv("BCOS_EXPLAIN_SEGMENT", "1")
+    l1, s1, w1 = _autodiff(net, variables, x)
+    # the folded-affine fold computes y*(gamma/std) vs the module's
+    # (y/std)*gamma — same value up to one rounding step
+    np.testing.assert_allclose(
+        np.asarray(l0), np.asarray(l1), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+    w0, w1 = np.asarray(w0), np.asarray(w1)
+    assert np.linalg.norm(w0 - w1) <= 1e-5 * np.linalg.norm(w0)
+
+
+def test_segment_vjp_guided_backprop_unaffected(monkeypatch):
+    """GuidedBackprop must keep its gated-ReLU gradients even when the
+    segment fast path is enabled (the segment gate defers to guided mode)."""
+    from bcosification_tpu.ops import guided
+
+    net, variables = _tiny("resnet50", ("bottleneck", (1, 1)))
+    x = jnp.asarray(
+        np.random.default_rng(3).normal(size=(2, 64, 64, 6)).astype(np.float32)
+    )
+
+    def gb(inp):
+        with guided.guided_backprop():
+            def f(t):
+                return net.apply(variables, t, train=False, explain=True)
+
+            out, vjp = jax.vjp(f, inp)
+            sel = jnp.argmax(out, axis=1)
+            (g,) = vjp(jax.nn.one_hot(sel, out.shape[-1], dtype=out.dtype))
+            return g
+
+    monkeypatch.setenv("BCOS_EXPLAIN_SEGMENT", "0")
+    g0 = np.asarray(gb(x))
+    monkeypatch.setenv("BCOS_EXPLAIN_SEGMENT", "1")
+    g1 = np.asarray(gb(x))
+    assert np.linalg.norm(g0 - g1) <= 1e-5 * max(np.linalg.norm(g0), 1e-30)
