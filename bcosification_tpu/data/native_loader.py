@@ -22,6 +22,11 @@ _LIB_PATHS = [
     Path(os.getenv("BCOS_NATIVE_LIB", "/nonexistent")),
 ]
 
+# Must match bcos_loader_abi_version() in native/bcos_loader.cpp. A stale
+# binary (the .so is checked in; a fresh checkout equalises mtimes, so make
+# cannot detect it) is rejected rather than silently misbehaving.
+_ABI_VERSION = 2
+
 _lib = None
 
 
@@ -32,6 +37,20 @@ def _load_lib():
     for p in _LIB_PATHS:
         if p.exists():
             lib = ctypes.CDLL(str(p))
+            try:
+                lib.bcos_loader_abi_version.restype = ctypes.c_int
+                version = lib.bcos_loader_abi_version()
+            except AttributeError:
+                version = -1
+            if version != _ABI_VERSION:
+                import warnings
+
+                warnings.warn(
+                    f"native loader {p} has ABI version {version}, expected "
+                    f"{_ABI_VERSION}; rebuild with `make -B -C native`. "
+                    "Falling back to the Python loader path."
+                )
+                continue
             lib.bcos_loader_create.restype = ctypes.c_void_p
             lib.bcos_loader_create.argtypes = [
                 ctypes.POINTER(ctypes.c_char_p),

@@ -326,6 +326,13 @@ class Loader {
 
 extern "C" {
 
+// Bumped on any behavioural change. The Python binding refuses to load a
+// library with a different version: the .so is checked into the repo and a
+// fresh checkout gives every file the same mtime, so `make` alone cannot
+// detect staleness (this exact failure shipped a pre-reorder-buffer binary
+// in round 2 — eval batches came out of submission order).
+int bcos_loader_abi_version() { return 2; }
+
 void* bcos_loader_create(const char** paths, const int32_t* labels, int n,
                          int out_size, int resize_size, int batch, int threads,
                          int mode, int channels_out, uint64_t seed,

@@ -14,6 +14,30 @@ needs_native = pytest.mark.skipif(
 )
 
 
+@pytest.fixture(scope="module", autouse=True)
+def fresh_native_build():
+    """Force-rebuild the shared library from the current source before the
+    module runs: the .so is checked in and a fresh checkout equalises all
+    mtimes, so plain `make` can consider a STALE binary up to date (this
+    shipped a pre-reorder-buffer .so in round 2). `make -B` is ~2s. The
+    binding itself also refuses mismatched ABI versions."""
+    import pathlib
+    import subprocess
+
+    native_dir = pathlib.Path(__file__).parents[1] / "native"
+    try:
+        subprocess.run(
+            ["make", "-B", "-C", str(native_dir)],
+            check=True, capture_output=True, timeout=120,
+        )
+    except (OSError, subprocess.SubprocessError):
+        pass  # no toolchain: fall through, ABI guard still protects us
+    # reset the binding's cache so it re-validates the (re)built library
+    import bcosification_tpu.data.native_loader as nl
+
+    nl._lib = None
+
+
 @pytest.fixture
 def jpeg_dir(tmp_path, rng):
     from PIL import Image
