@@ -38,10 +38,11 @@ def make_bench_fn(net, n_iters: int):
     from bcosification_tpu.explain.core import dynamic_linear_weights
     from bcosification_tpu.explain import fast_resnet
 
-    # BCOS_FAST_EXPLAIN=1: hand-scheduled explain backward (explain/
-    # fast_resnet.py). Measured +1% over XLA autodiff on v5e (31.4 vs
-    # 31.8 ms) — kept opt-in; the default autodiff path is the benchmark.
-    use_fast = os.getenv("BCOS_FAST_EXPLAIN", "0") == "1" and fast_resnet.supports(net)
+    # Default: hand-scheduled explain backward (explain/fast_resnet.py) —
+    # identical values (tests/test_fast_explain.py), phase-decomposed
+    # stride-2 transposes; measured consistently >= the autodiff path on
+    # v5e (30.7-31.6 vs 31.5-31.8 ms). BCOS_FAST_EXPLAIN=0 for autodiff.
+    use_fast = os.getenv("BCOS_FAST_EXPLAIN", "1") == "1" and fast_resnet.supports(net)
 
     @partial(jax.jit, static_argnums=(2,))
     def bench_n(variables, x, n):
