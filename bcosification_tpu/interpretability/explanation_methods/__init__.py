@@ -10,6 +10,7 @@ from typing import Any, Dict
 
 from bcosification_tpu.interpretability.explanation_methods.explainers import (
     GB,
+    DeepLift,
     ExplainerBase,
     Grad,
     GradCam,
@@ -30,6 +31,8 @@ explainer_map = {
     "IxG": IxG,
     "Grad": Grad,
     "GB": GB,
+    "DeepLIFT": DeepLift,
+    "DeepLift": DeepLift,
     "IntGrad": IntGrad,
     "GradCam": GradCam,
     "Occlusion": Occlusion,
@@ -46,6 +49,7 @@ explanation_configs: Dict[str, Dict[str, Any]] = {
     "IxG": {},
     "Grad": {},
     "GB": {},
+    "DeepLIFT": {},
     "IntGrad": {"n_steps": 20},
     "GradCam": {},
     "Occlusion": {"patch_size": 16, "stride": 8},

@@ -28,6 +28,7 @@ __all__ = [
     "IxG",
     "Grad",
     "GB",
+    "DeepLift",
     "IntGrad",
     "GradCam",
     "Occlusion",
@@ -178,6 +179,61 @@ class GB(ExplainerBase):
 
     def attribute_selection(self, img, targets):
         return self._jitted(self.variables, img, jnp.asarray(targets))
+
+
+class DeepLift(ExplainerBase):
+    """DeepLIFT, Rescale rule (native — the reference only ships this
+    captum-gated: `explainers/__init__.py:62-85`).
+
+    Paired forward over ``concat([x, baseline])`` with every ReLU
+    backpropagating the rescale multiplier (relu(x)-relu(x0))/(x-x0)
+    (ops/guided.py::deeplift); attributions are (x - baseline) * grad.
+    Non-ReLU nonlinearities (the b=2 dynamic scales outside explanation
+    mode, GELUs) fall back to their ordinary gradients, exactly like
+    captum's Rescale on unrecognised modules. With ``explanation_mode=True``
+    every remaining op is linear, so summation-to-delta is exact:
+    sum(attr) == f(x) - f(baseline) (tested). Default baseline: zeros.
+    With a zero baseline on a bias-free ReLU net the rescale multiplier
+    equals the ReLU gradient, so DeepLIFT == IxG there (also tested)."""
+
+    def __init__(
+        self, model, variables, baseline=None, explanation_mode=None, **config
+    ):
+        super().__init__(model, variables, **config)
+        self.baseline = baseline
+        if explanation_mode is not None:
+            self.explanation_mode = explanation_mode
+
+    @functools.cached_property
+    def _jitted(self):
+        from bcosification_tpu.ops.guided import deeplift
+
+        explain = self.explanation_mode
+
+        @jax.jit
+        def run(variables, img, baseline, targets):
+            def one(t):
+                def f(pair):
+                    with deeplift():
+                        out = self.model.apply(
+                            variables, pair, train=False, explain=explain
+                        )
+                    return out[0, t]
+
+                pair = jnp.concatenate([img, baseline], axis=0)
+                return jax.grad(f)(pair)[0]
+
+            grads = jax.vmap(one)(jnp.asarray(targets))
+            return grads * (img - baseline)[0]
+
+        return run
+
+    def attribute_selection(self, img, targets):
+        baseline = (
+            jnp.zeros_like(img) if self.baseline is None else
+            jnp.broadcast_to(jnp.asarray(self.baseline, img.dtype), img.shape)
+        )
+        return self._jitted(self.variables, img, baseline, jnp.asarray(targets))
 
 
 class IntGrad(ExplainerBase):

@@ -276,3 +276,87 @@ def test_guided_backprop_on_bcosified_relu_net(rng):
         np.asarray(gr2.attribute_selection(x, jnp.asarray([1]))),
         rtol=1e-6, atol=1e-7,
     )
+
+
+def test_deeplift_zero_baseline_equals_ixg_on_relu_net(rng):
+    """Rescale with a zero baseline on a bias-free ReLU net degenerates to
+    the ordinary ReLU gradient, so DeepLIFT == IxG exactly there."""
+    from bcosification_tpu.modules.activations import ReLU
+
+    class TinyReluNet(nn.Module):
+        @nn.compact
+        def __call__(self, x, *, train: bool = False, explain: bool = False):
+            x = BcosConv2d(features=8, kernel_size=3, padding=1)(
+                x, train=train, explain=explain
+            )
+            x = ReLU()(x, train=train, explain=explain)
+            x = BcosConv2d(features=4, kernel_size=1)(
+                x, train=train, explain=explain
+            )
+            return x.mean(axis=(1, 2))
+
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 6)).astype(np.float32))
+    net = TinyReluNet()
+    v = net.init(jax.random.PRNGKey(2), x)
+    dl = get_explainer(net, v, "DeepLIFT")
+    ixg = get_explainer(net, v, "IxG")
+    a_dl = np.asarray(dl.attribute_selection(x, jnp.asarray([1, 2])))
+    a_ixg = np.asarray(ixg.attribute_selection(x, jnp.asarray([1, 2])))
+    np.testing.assert_allclose(a_dl, a_ixg, rtol=1e-5, atol=1e-7)
+
+
+def _bcosified_rn50(b, rng_key=0):
+    from bcosification_tpu.bcosify.engine import build_bcosified_resnet, RESNET_LAYERS
+
+    model_config = {
+        "name": "resnet50",
+        "bcosify_args": {
+            "fix_b": True, "use_bias": False, "norm_layer": "BnUncV2",
+            "gap": True, "act_layer": True,
+        },
+        "bcos_args": {"b": b},
+    }
+    old = RESNET_LAYERS["resnet50"]
+    RESNET_LAYERS["resnet50"] = ("bottleneck", (1, 1))
+    try:
+        return build_bcosified_resnet(
+            model_config, None, input_size=32, num_classes=10, inplanes=8
+        )
+    finally:
+        RESNET_LAYERS["resnet50"] = old
+
+
+def test_deeplift_completeness_and_nonzero_baseline(rng):
+    """Summation-to-delta sum(attr) == f(x) - f(baseline):
+    exact when ReLU is the only nonlinearity (a b=1 conversion — rescale
+    covers everything); approximate on b=2 where the dynamic scales use the
+    gradient fallback (captum's Rescale behaves identically on ops it does
+    not recognise). The LogitLayer bias cancels in the delta."""
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 6)).astype(np.float32))
+    baseline = jnp.full_like(x, 0.3)
+    t = 3
+
+    def run(b):
+        net, variables = _bcosified_rn50(b)
+        dl = get_explainer(
+            net, variables, "DeepLIFT", baseline=baseline, explanation_mode=True
+        )
+        attr = np.asarray(dl.attribute_selection(x, jnp.asarray([t])))[0]
+        fx = float(net.apply(variables, x, train=False, explain=True)[0, t])
+        f0 = float(net.apply(variables, baseline, train=False, explain=True)[0, t])
+        return net, variables, attr, fx - f0
+
+    net1, _, attr1, delta1 = run(1)
+    np.testing.assert_allclose(attr1.sum(), delta1, rtol=1e-4, atol=1e-7)
+
+    net2, v2, attr2, delta2 = run(2)
+    denom = max(abs(delta2), 1e-8)
+    assert abs(attr2.sum() - delta2) / denom < 0.25  # fallback: approximate
+
+    ixg = get_explainer(net2, v2, "IxG")
+    a_ixg = np.asarray(ixg.attribute_selection(x, jnp.asarray([t])))[0]
+    assert np.abs(attr2 - a_ixg).max() > 1e-8
+
+
+def test_deeplift_in_registry():
+    assert "DeepLIFT" in explainer_map and "DeepLift" in explainer_map
