@@ -132,7 +132,7 @@ class Trainer:
         return bool(margs.get("clip_kd", False))
 
     # -- logging ---------------------------------------------------------------
-    def _log_metrics(self, epoch: int, metrics: Dict[str, float]):
+    def _log_metrics(self, epoch: int, metrics: Dict[str, float], csv: bool = True):
         for k, v in metrics.items():
             self.metrics_history.setdefault(k, []).append((epoch, float(v)))
         if not self._io_process:
@@ -141,6 +141,8 @@ class Trainer:
         mdir.mkdir(exist_ok=True)
         with gzip.open(mdir / "metrics.json.gz", "wt") as f:
             json.dump(self.metrics_history, f)
+        if not csv:  # one-off rows (initial eval) would corrupt the header
+            return
         csv_path = self.save_dir / "metrics.csv"
         write_header = not csv_path.exists()
         keys = sorted(metrics)
@@ -234,6 +236,24 @@ class Trainer:
             print(f"Resuming from epoch {last_epoch}")
 
         state = mesh_lib.replicate(state, self.mesh)
+
+        # ImageNetEval (ref trainer.py:1090-1103): evaluate the freshly
+        # converted model on the validation split BEFORE any training — the
+        # conversion-quality metric (a b=1 conversion must start at the
+        # pretrained model's accuracy). Skipped on resume and in KD (which
+        # has its own zeroshot eval), like the reference.
+        if start_epoch == 0 and not fast_dev_run:
+            init_metrics = self.validate(eval_step, state, datamodule)
+            if init_metrics:
+                print(
+                    "initial (pre-training) validation: "
+                    + ", ".join(f"{k}={v:.4f}" for k, v in init_metrics.items())
+                )
+                self._log_metrics(
+                    -1,
+                    {f"initial_{k}": v for k, v in init_metrics.items()},
+                    csv=False,
+                )
 
         for epoch in range(start_epoch, max_epochs):
             t0 = time.time()

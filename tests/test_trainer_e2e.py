@@ -105,6 +105,16 @@ def test_trainer_fit_and_resume(tmp_path):
     metrics = trainer.experiment if False else None
     assert trainer.ckpt.available_checkpoints(), "checkpoints saved"
 
+    # ImageNetEval parity (ref trainer.py:1090-1103): the pre-training
+    # validation of the converted model is recorded at epoch -1 (json/
+    # history only, not the fixed-schema csv)
+    assert trainer.metrics_history["initial_val_acc1"][0][0] == -1
+    import csv as _csv
+
+    with open(exp.save_dir / "metrics.csv") as f:
+        header = f.readline()
+    assert "initial" not in header
+
     # resume continues from epoch 2 -> runs only epoch 3
     trainer2 = Trainer(exp)
     state2 = trainer2.fit(model, variables, dm, max_epochs=3)
