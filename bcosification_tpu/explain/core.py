@@ -121,11 +121,24 @@ def gradient_to_image(
     return jnp.concatenate([rgb, alpha], axis=-1)  # [H,W,4]
 
 
-def _jitted_explain(apply_fn, smooth: int, alpha_percentile: float, with_image: bool):
+def _jitted_explain(
+    apply_fn,
+    smooth: int,
+    alpha_percentile: float,
+    with_image: bool,
+    fast_model=None,
+):
     @jax.jit
     def run(variables, x, idx):
-        f = lambda xx: apply_fn(variables, xx)
-        out, sel, w = dynamic_linear_weights(f, x, idx)
+        if fast_model is not None:
+            from bcosification_tpu.explain import fast_resnet
+
+            out, sel, w = fast_resnet.fast_dynamic_linear_weights(
+                fast_model, variables, x, idx
+            )
+        else:
+            f = lambda xx: apply_fn(variables, xx)
+            out, sel, w = dynamic_linear_weights(f, x, idx)
         result = {
             "prediction": jnp.argmax(out, axis=1),
             "explained_class_idx": sel,
@@ -150,18 +163,30 @@ def make_explain_fn(
     smooth: int = 15,
     alpha_percentile: float = 99.5,
     with_image: bool = True,
+    fast: str = "auto",
 ):
     """Build a jitted explain(variables, x, idx=None) for a linen model whose
     __call__ accepts (x, train=, explain=). Mirrors `BcosUtilMixin.explain`
-    (common.py:92-188). Compiled variants are cached per model."""
-    key = (id(model), smooth, alpha_percentile, with_image)
+    (common.py:92-188). Compiled variants are cached per model.
+
+    ``fast``: "auto" (default) routes B-cosified ResNets through the
+    hand-scheduled pass (explain/fast_resnet.py — identical values, faster
+    on TPU); True forces it (raises if unsupported); False always uses the
+    generic fused VJP."""
+    from bcosification_tpu.explain import fast_resnet
+
+    use_fast = (
+        fast_resnet.supports(model) if fast == "auto" else bool(fast)
+    )
+    key = (id(model), smooth, alpha_percentile, with_image, use_fast)
     if key not in _EXPLAIN_CACHE:
 
         def apply_fn(variables, xx):
             return model.apply(variables, xx, train=False, explain=True)
 
         _EXPLAIN_CACHE[key] = _jitted_explain(
-            apply_fn, smooth, alpha_percentile, with_image
+            apply_fn, smooth, alpha_percentile, with_image,
+            fast_model=model if use_fast else None,
         )
     jitted = _EXPLAIN_CACHE[key]
 

@@ -126,3 +126,27 @@ def test_segment_vjp_guided_backprop_unaffected(monkeypatch):
     monkeypatch.setenv("BCOS_EXPLAIN_SEGMENT", "1")
     g1 = np.asarray(gb(x))
     assert np.linalg.norm(g0 - g1) <= 1e-5 * max(np.linalg.norm(g0), 1e-30)
+
+
+def test_make_explain_fn_fast_dispatch():
+    """make_explain_fn(fast='auto') routes supported models through the
+    hand-scheduled pass with outputs matching the generic path."""
+    from bcosification_tpu.explain.core import make_explain_fn
+
+    net, variables = _tiny("resnet50", ("bottleneck", (1, 1)))
+    x = jnp.asarray(
+        np.random.default_rng(5).normal(size=(2, 64, 64, 6)).astype(np.float32)
+    )
+    auto = make_explain_fn(net, with_image=False)(variables, x)
+    slow = make_explain_fn(net, with_image=False, fast=False)(variables, x)
+    np.testing.assert_array_equal(
+        np.asarray(auto["prediction"]), np.asarray(slow["prediction"])
+    )
+    w0 = np.asarray(slow["dynamic_linear_weights"])
+    w1 = np.asarray(auto["dynamic_linear_weights"])
+    assert np.linalg.norm(w0 - w1) <= 1e-5 * np.linalg.norm(w0)
+    np.testing.assert_allclose(
+        np.asarray(auto["contribution_map"]),
+        np.asarray(slow["contribution_map"]),
+        rtol=1e-4, atol=1e-7,
+    )
