@@ -34,3 +34,11 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavyweight end-to-end drives (CLI subprocess roundtrips); "
+        "deselect with -m 'not slow' for a quick pass",
+    )

@@ -1,0 +1,66 @@
+"""Full CLI roundtrip: `train.py --fast_dev_run` then `evaluate.py --reload
+last` against a synthetic on-disk ImageNet tree, in subprocesses — locks the
+whole arg surface, config resolution, datamodule building, checkpointing and
+reload path end-to-end (this exact drive caught a collate bug the synthetic
+datamodule tests masked; see .claude/skills/verify)."""
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).parents[1]
+
+
+@pytest.fixture(scope="module")
+def fake_imagenet(tmp_path_factory):
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("fake_imagenet")
+    rng = np.random.default_rng(0)
+    for split, n_per_class in [("train", 68), ("val", 34)]:
+        for wnid in ("n01440764", "n01443537"):
+            d = root / split / wnid
+            d.mkdir(parents=True)
+            for i in range(n_per_class):
+                arr = (rng.random((48, 56, 3)) * 255).astype(np.uint8)
+                Image.fromarray(arr).save(d / f"{wnid}_{i}.JPEG", quality=85)
+    return root
+
+
+@pytest.mark.slow
+def test_train_then_evaluate_cli(fake_imagenet, tmp_path):
+    env = dict(os.environ)
+    env.update(
+        IMAGENET_PATH=str(fake_imagenet),
+        BCOS_EXPERIMENT_ROOT=str(tmp_path / "exp"),
+        JAX_PLATFORMS="cpu",
+    )
+    common = [
+        "--dataset", "ImageNet", "--base_network", "bcosification",
+        "--experiment_name", "resnet_18",
+    ]
+    r = subprocess.run(
+        [sys.executable, str(REPO / "train.py"), *common, "--fast_dev_run"],
+        env=env, cwd=str(REPO), capture_output=True, text=True, timeout=1500,
+    )
+    assert r.returncode == 0, f"train.py failed:\n{r.stdout[-2000:]}\n{r.stderr[-2000:]}"
+
+    save_dirs = list((tmp_path / "exp").rglob("metrics.json.gz"))
+    assert save_dirs, "training wrote no metrics"
+
+    r2 = subprocess.run(
+        [
+            sys.executable, str(REPO / "evaluate.py"), *common,
+            "--reload", "last", "--batch_size", "16",
+            "--base_directory", str(tmp_path / "exp"),
+        ],
+        env=env, cwd=str(REPO), capture_output=True, text=True, timeout=1500,
+    )
+    assert r2.returncode == 0, (
+        f"evaluate.py failed:\n{r2.stdout[-2000:]}\n{r2.stderr[-2000:]}"
+    )
+    assert "top-1" in r2.stdout.lower() or "acc" in r2.stdout.lower(), r2.stdout[-500:]
