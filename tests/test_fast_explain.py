@@ -150,3 +150,26 @@ def test_make_explain_fn_fast_dispatch():
         np.asarray(slow["contribution_map"]),
         rtol=1e-4, atol=1e-7,
     )
+
+
+def test_fast_explain_bf16_tolerance():
+    """The TPU bench runs this path in bf16; check the scale reconstruction
+    (incl. the out-minus-identity cancellation) stays within bf16 rounding
+    of the autodiff path on the same dtype."""
+    net, variables = _tiny("resnet50", ("bottleneck", (1, 1)))
+    from bcosification_tpu.explain import fast_resnet
+
+    x = jnp.asarray(
+        np.random.default_rng(7).normal(size=(2, 64, 64, 6)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    l0, s0, w0 = _autodiff(net, variables, x)
+    l1, s1, w1 = fast_resnet.fast_dynamic_linear_weights(net, variables, x)
+    np.testing.assert_array_equal(
+        np.asarray(l0, np.float32), np.asarray(l1, np.float32)
+    )
+    w0 = np.asarray(w0, np.float32)
+    w1 = np.asarray(w1, np.float32)
+    # bf16 has ~3 decimal digits; the reconstruction compounds a few ulps
+    assert np.linalg.norm(w0 - w1) <= 3e-2 * np.linalg.norm(w0), (
+        np.linalg.norm(w0 - w1) / np.linalg.norm(w0)
+    )
