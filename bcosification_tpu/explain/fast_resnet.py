@@ -99,6 +99,13 @@ def supports(net) -> bool:
             return False
     if conv.use_bias:  # trunk convs must be bias-free (fc bias is handled)
         return False
+    # the pass derives ONE weight-normalization decision from conv_layer and
+    # applies it to fc too — mixed trunk/fc configs would compute wrongly
+    if type(conv) is not type(fc) or (
+        getattr(conv, "normalize_weights", False)
+        != getattr(fc, "normalize_weights", False)
+    ):
+        return False
     if not isinstance(norm, norms_lib.BatchNormUncentered2d):
         return False
     if not isinstance(act, (ReLU, Identity)):
@@ -231,6 +238,10 @@ def _convT2x(ct, w, x_shape, padding: int):
         ct, w2, window_strides=(sconv, sconv),
         padding=((lo_y, hi_y), (lo_x, hi_x)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        # fp32 convs stay exactly fp32, matching ops._conv (CLAUDE.md)
+        precision=(
+            jax.lax.Precision.HIGHEST if ct.dtype == jnp.float32 else None
+        ),
     )
     qh, qw = 2 * hc // block, 2 * wc // block
     out = out.reshape(n, qh, qw, block, block, cin)

@@ -205,7 +205,9 @@ def _epilogue_result(mod, x, w_hwio, bias, b, explain, x_sumsq, epilogue):
         and b == 2
         and mod.max_out == 1
         and ops.explain_segment_enabled()
-        and not (relu and guided.guided_mode())
+        # the segment VJP hard-codes the plain ReLU mask — defer to the
+        # guided-backprop / DeepLIFT custom ReLU VJPs when those trace
+        and not (relu and (guided.guided_mode() or guided.deeplift_mode()))
     ):
         u = ops._conv(
             x, w_hwio.astype(x.dtype), mod.stride, mod.padding, mod.dilation,
@@ -240,6 +242,8 @@ def _epilogue_no_residual(mod, x, w_hwio, bias, b, explain, x_sumsq, epilogue):
     )
 
     mult, add, relu = epilogue
+    from bcosification_tpu.ops import guided as _guided
+
     if (
         explain
         and not fusion_requested()  # explicit BCOS_FUSED=1 keeps Pallas priority
@@ -247,6 +251,10 @@ def _epilogue_no_residual(mod, x, w_hwio, bias, b, explain, x_sumsq, epilogue):
         and b == 2
         and mod.max_out == 1
         and ops.explain_layer_enabled()
+        # b2_explain_layer's bwd hard-codes the plain ReLU mask too
+        and not (
+            relu and (_guided.guided_mode() or _guided.deeplift_mode())
+        )
     ):
         # whole-layer custom VJP: no activation-sized scale residual (see
         # ops.bcos.b2_explain_layer / explain_layer_enabled for the numbers)

@@ -173,3 +173,30 @@ def test_fast_explain_bf16_tolerance():
     assert np.linalg.norm(w0 - w1) <= 3e-2 * np.linalg.norm(w0), (
         np.linalg.norm(w0 - w1) / np.linalg.norm(w0)
     )
+
+
+def test_segment_vjp_deeplift_unaffected(monkeypatch):
+    """DeepLIFT's rescale ReLU multipliers must survive BCOS_EXPLAIN_SEGMENT=1
+    (the segment/layer VJPs hard-code the plain mask; the gates defer)."""
+    from bcosification_tpu.interpretability.explanation_methods import (
+        get_explainer,
+    )
+
+    net, variables = _tiny("resnet50", ("bottleneck", (1, 1)))
+    x = jnp.asarray(
+        np.random.default_rng(9).normal(size=(1, 64, 64, 6)).astype(np.float32)
+    )
+    baseline = jnp.full_like(x, 0.25)
+
+    def attr():
+        dl = get_explainer(
+            net, variables, "DeepLIFT", baseline=baseline,
+            explanation_mode=True,
+        )
+        return np.asarray(dl.attribute_selection(x, jnp.asarray([2])))
+
+    monkeypatch.setenv("BCOS_EXPLAIN_SEGMENT", "0")
+    a0 = attr()
+    monkeypatch.setenv("BCOS_EXPLAIN_SEGMENT", "1")
+    a1 = attr()
+    assert np.linalg.norm(a0 - a1) <= 1e-5 * max(np.linalg.norm(a0), 1e-30)

@@ -15,27 +15,40 @@ needs_native = pytest.mark.skipif(
 
 
 @pytest.fixture(scope="module", autouse=True)
-def fresh_native_build():
-    """Force-rebuild the shared library from the current source before the
-    module runs: the .so is checked in and a fresh checkout equalises all
-    mtimes, so plain `make` can consider a STALE binary up to date (this
-    shipped a pre-reorder-buffer .so in round 2). `make -B` is ~2s. The
-    binding itself also refuses mismatched ABI versions."""
+def fresh_native_build(tmp_path_factory):
+    """Build the shared library from the current source into a TEMP dir and
+    point the binding at it for this module: the checked-in .so can be stale
+    after checkout (equal mtimes defeat make's dependency check — this
+    shipped a pre-reorder-buffer binary in round 2), and rebuilding in place
+    would dirty the git-tracked binary on every test run. The binding's ABI
+    guard still protects non-toolchain machines."""
     import pathlib
+    import shutil
     import subprocess
 
-    native_dir = pathlib.Path(__file__).parents[1] / "native"
-    try:
-        subprocess.run(
-            ["make", "-B", "-C", str(native_dir)],
-            check=True, capture_output=True, timeout=120,
-        )
-    except (OSError, subprocess.SubprocessError):
-        pass  # no toolchain: fall through, ABI guard still protects us
-    # reset the binding's cache so it re-validates the (re)built library
     import bcosification_tpu.data.native_loader as nl
 
+    native_dir = pathlib.Path(__file__).parents[1] / "native"
+    build_dir = pathlib.Path(tmp_path_factory.mktemp("native_build"))
+    fresh = None
+    try:
+        for f in ("Makefile", "bcos_loader.cpp"):
+            shutil.copy(native_dir / f, build_dir / f)
+        subprocess.run(
+            ["make", "-B", "-C", str(build_dir)],
+            check=True, capture_output=True, timeout=120,
+        )
+        candidate = build_dir / "libbcos_loader.so"
+        if candidate.exists():
+            fresh = candidate
+    except (OSError, subprocess.SubprocessError):
+        pass  # no toolchain: fall through to the checked-in library
+    old_paths, old_lib = nl._LIB_PATHS, nl._lib
+    if fresh is not None:
+        nl._LIB_PATHS = [fresh]
     nl._lib = None
+    yield
+    nl._LIB_PATHS, nl._lib = old_paths, old_lib
 
 
 @pytest.fixture
