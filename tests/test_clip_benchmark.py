@@ -285,3 +285,58 @@ def test_captioning_metrics_include_meteor():
     refs = [[ptb_tokenize("a man rides a horse"), ptb_tokenize("someone on a horse")]]
     m = meteor(cands, refs)
     assert 0.5 < m <= 1.0  # rides~riding via stems, most unigrams align
+
+
+def _onehot_bundle(dim=4):
+    """Bundle whose image features are the (flattened) images themselves and
+    whose text features decode 'e<i>' captions to one-hot basis vectors —
+    retrieval/selection outcomes are then exactly constructible."""
+
+    def encode_texts(captions):
+        out = np.zeros((len(captions), dim), np.float32)
+        for i, c in enumerate(captions):
+            out[i, int(c.strip().lstrip("e"))] = 1.0
+        return out
+
+    return ModelBundle(
+        encode_image=lambda im: im.reshape(im.shape[0], -1),
+        text_model=None,
+        text_vars=None,
+        tokenizer=None,
+        encode_texts_fn=encode_texts,
+        jittable=False,
+    )
+
+
+def test_zeroshot_retrieval_exact():
+    from clip_benchmark.metrics import zeroshot_retrieval
+
+    dim = 4
+    images = np.eye(dim, dtype=np.float32).reshape(dim, 1, 1, dim)
+    # captions: images 0..2 get their own basis caption; image 3's caption
+    # points at image 0 -> t2i recall@1 = 3/4; image 3 has no matching top-1
+    # caption and caption 'e0' is argmax-ambiguous-free
+    caps = [["e0"], ["e1"], ["e2"], ["e0"]]
+    loader = [(images, caps)]
+    m = zeroshot_retrieval.evaluate(_onehot_bundle(dim), loader, recall_k_list=(1, 4))
+    assert m["text_retrieval_recall@1"] == pytest.approx(0.75)
+    # @4 every caption's image is in the top-4 (there are only 4 images)
+    assert m["text_retrieval_recall@4"] == 1.0
+    # image->text@1: image 0 is the argmax for BOTH 'e0' captions (its own
+    # and image 3's) -> correct; images 1,2 match their captions; image 3's
+    # only caption ranks image 0 first -> 3/4
+    assert m["image_retrieval_recall@1"] == pytest.approx(0.75)
+    assert m["image_retrieval_recall@4"] == 1.0
+
+
+def test_image_caption_selection_exact():
+    from clip_benchmark.metrics import image_caption_selection
+
+    dim = 4
+    images = np.eye(dim, dtype=np.float32)[:2].reshape(2, 1, 1, dim)
+    # sample 0: correct caption first -> counted correct;
+    # sample 1: the DISTRACTOR matches the image -> counted wrong
+    caps = [["e0", "e1"], ["e0", "e1"]]
+    loader = [(images, caps)]
+    m = image_caption_selection.evaluate(_onehot_bundle(dim), loader)
+    assert m["image_caption_selection_acc"] == pytest.approx(0.5)
