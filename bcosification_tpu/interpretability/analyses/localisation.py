@@ -224,3 +224,96 @@ class LocalisationAnalyser(Analyser):
                 f"{np.percentile(result, [25, 50, 75, 100])}"
             )
         return {"localisation_metric": result}
+
+
+def argument_parser(add_help: bool = True):
+    """Reference-compatible CLI (`/root/reference/interpretability/analyses/
+    localisation.py:476-541`), plus the (dataset, base_network,
+    experiment_name) triple as an alternative to --save_path."""
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        description="Localisation analysis (grid pointing game).",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+        add_help=add_help,
+    )
+    parser.add_argument("--save_path", default=None,
+                        help="Experiment save dir (alternative to the triple).")
+    parser.add_argument("--dataset", default="ImageNet")
+    parser.add_argument("--base_network", default="bcosification")
+    parser.add_argument("--experiment_name", default=None)
+    parser.add_argument("--reload", default="last",
+                        help="last | best | best_any | epoch_<N>")
+    parser.add_argument("--ema", action="store_true", default=False)
+    parser.add_argument("--explainer_name", default="Ours")
+    parser.add_argument("--analysis_config", default="500_3x3")
+    parser.add_argument("--striding", default="none",
+                        help="none | stride=<S> (ViT non-linear-kernel mode)")
+    parser.add_argument("--explainer_config", default="default")
+    parser.add_argument("--batch_size", default=64, type=int)
+    parser.add_argument("--smooth", required=True, type=int,
+                        help="attribution smoothing (avg_pool) kernel")
+    parser.add_argument("--force_confidence_calculation", action="store_true",
+                        default=False)
+    parser.add_argument("--save_root", default="localisation_results")
+    parser.add_argument("--debug", action="store_true", default=False)
+    return parser
+
+
+def main(config=None):
+    from bcosification_tpu.experiments.utils import Experiment
+    from bcosification_tpu.interpretability.analyses.localisation_configs import (
+        configs as loc_configs,
+    )
+    from bcosification_tpu.interpretability.explanation_methods import (
+        explanation_configs,
+    )
+
+    if config is None:
+        config = argument_parser().parse_args()
+    print("Starting localisation analysis for", config)
+
+    if config.save_path:
+        experiment = Experiment(path=config.save_path)
+    else:
+        assert config.experiment_name, "--experiment_name or --save_path required"
+        experiment = Experiment(
+            config.dataset, config.base_network, config.experiment_name
+        )
+    model, variables = experiment.load_trained_model(config.reload, ema=config.ema)
+
+    cfg = dict(loc_configs[config.analysis_config])
+    cfg.update(
+        explainer_name=config.explainer_name,
+        smooth=config.smooth,
+        batch_size=config.batch_size,
+        striding=config.striding,
+    )
+    if config.explainer_config != "default":
+        cfg["explainer_kwargs"] = explanation_configs.get(
+            config.explainer_config, {}
+        )
+    dm = experiment.get_datamodule()
+    dm.setup("test")
+    import os as _os
+
+    save = _os.path.join(
+        config.save_root,
+        config.experiment_name or _os.path.basename(str(config.save_path)),
+        config.analysis_config,
+        config.explainer_name,
+    )
+    analyser = LocalisationAnalyser(
+        model, variables, dm.eval_dataset, save_folder=save, **cfg
+    )
+    if config.force_confidence_calculation:
+        fp = analyser.save_folder / "confidences.pkl"
+        if fp.exists():
+            fp.unlink()
+    results = analyser.run()
+    analyser.save_results(results, save)
+    return results
+
+
+if __name__ == "__main__":
+    main()

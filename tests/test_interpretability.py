@@ -360,3 +360,25 @@ def test_deeplift_completeness_and_nonzero_baseline(rng):
 
 def test_deeplift_in_registry():
     assert "DeepLIFT" in explainer_map and "DeepLift" in explainer_map
+
+
+def test_localisation_cli_arg_surface():
+    """The runnable localisation CLI keeps the reference's flag names
+    (ref localisation.py:476-541)."""
+    from bcosification_tpu.interpretability.analyses.localisation import (
+        argument_parser,
+    )
+
+    parser = argument_parser()
+    flags = {a for act in parser._actions for a in act.option_strings}
+    for ref_flag in (
+        "--save_path", "--reload", "--ema", "--explainer_name",
+        "--analysis_config", "--striding", "--explainer_config",
+        "--batch_size", "--smooth", "--force_confidence_calculation",
+        "--debug",
+    ):
+        assert ref_flag in flags, ref_flag
+    args = parser.parse_args(
+        ["--experiment_name", "resnet_18", "--smooth", "15"]
+    )
+    assert args.smooth == 15 and args.analysis_config == "500_3x3"
