@@ -116,3 +116,137 @@ class TextLocalisationAnalyser(Analyser):
 
     def analysis(self):
         raise NotImplementedError("use .localise(image, phrase) directly")
+
+
+def argument_parser(add_help: bool = True):
+    """Reference-compatible CLI (`/root/reference/interpretability/analyses/
+    text_localisation.py:168-182`)."""
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        description="Text-grounded localisation for B-cosified CLIP.",
+        add_help=add_help,
+    )
+    parser.add_argument("--exp_name", type=str, required=True,
+                        help="experiment name under ImageNet/"
+                             "clip_bcosification, or an experiment path")
+    parser.add_argument("--text_to_localize", type=str, required=False,
+                        help="comma-separated phrases")
+    parser.add_argument("--exp_name_data", type=str, default=None,
+                        help="accepted for reference parity (the datamodule "
+                             "comes from the experiment config)")
+    parser.add_argument("--image_index", type=int, default=11)
+    parser.add_argument("--use_attn_unpool", action="store_true", default=False)
+    parser.add_argument("--pool_cosine", type=int, default=1)
+    parser.add_argument("--norm_max_cosine", action="store_true", default=False)
+    parser.add_argument("--smooth", type=int, default=0)
+    parser.add_argument("--random_img_path", type=str, default=None)
+    parser.add_argument("--use_class_name", action="store_true", default=False)
+    parser.add_argument("--save_path", type=str, default=None)
+    parser.add_argument("--reload", type=str, default="best_any")
+    return parser
+
+
+def _load_image(path: str):
+    """PIL image -> [1,224,224,6] AddInverse tensor (the reference's eval
+    transform: bicubic resize 224, center crop, ToTensor, AddInverse)."""
+    from PIL import Image
+
+    from bcosification_tpu.data import transforms as T
+
+    tfm = T.Compose([
+        T.Resize(224, interpolation="bicubic"),
+        T.CenterCrop(224),
+        T.ToFloatArray(),
+        T.AddInverse(),
+    ])
+    with Image.open(path) as img:
+        arr = tfm(img.convert("RGB"))
+    return jnp.asarray(np.asarray(arr)[None])
+
+
+def main(config=None):
+    import os
+
+    from bcosification_tpu.clip.load import load as clip_load
+    from bcosification_tpu.data.imagenet import imagenet_templates
+    from bcosification_tpu.experiments.utils import Experiment
+
+    if config is None:
+        config = argument_parser().parse_args()
+
+    if os.path.sep in config.exp_name and os.path.isdir(config.exp_name):
+        experiment = Experiment(path=config.exp_name)
+    else:
+        experiment = Experiment("ImageNet", "clip_bcosification", config.exp_name)
+    try:
+        student, student_vars = experiment.load_trained_model(config.reload)
+    except FileNotFoundError:
+        print("No trained checkpoint; using conversion-time init")
+        student, student_vars = experiment.get_model()
+    _, _, text_model, text_vars, _, _ = clip_load("RN50")
+
+    if config.random_img_path:
+        image = _load_image(config.random_img_path)
+        class_name = os.path.splitext(os.path.basename(config.random_img_path))[0]
+    else:
+        dm = experiment.get_datamodule()
+        dm.setup("test")
+        img_arr, label = dm.eval_dataset[config.image_index]
+        image = jnp.asarray(np.asarray(img_arr)[None])
+        from bcosification_tpu.data.categories import imagenet_class_index
+
+        class_name = imagenet_class_index()[str(int(label))][1]
+
+    phrases = (
+        [class_name]
+        if config.use_class_name
+        else [p.strip() for p in (config.text_to_localize or "").split(",") if p.strip()]
+    )
+    assert phrases, "give --text_to_localize or --use_class_name"
+
+    analyser = TextLocalisationAnalyser(
+        student, student_vars, text_model, text_vars,
+        templates=imagenet_templates,
+        pool_cosine_power=(config.pool_cosine if config.use_attn_unpool else 0),
+        max_norm=config.norm_max_cosine,
+    )
+    save_root = config.save_path or str(getattr(experiment, "save_dir", "."))
+    out_dir = os.path.join(
+        save_root, "textloc_expl", class_name, f"smooth{config.smooth}"
+        + ("_attn_unpool" if config.use_attn_unpool else "")
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    results = {}
+    for phrase in phrases:
+        res = analyser.localise(image, phrase)
+        cm = np.asarray(res["contribution_map"])
+        expl = np.asarray(res["explanation"])
+        if config.smooth:
+            from bcosification_tpu.ops.pooling import avg_pool2d
+
+            cm = np.asarray(
+                avg_pool2d(jnp.asarray(cm)[None, ..., None], config.smooth, 1,
+                           (config.smooth - 1) // 2)
+            )[0, ..., 0]
+        np.savez(
+            os.path.join(out_dir, f"Text_{phrase.replace(' ', '_')}.npz"),
+            contribution_map=cm, explanation=expl,
+            score=np.asarray(res.get("score", np.nan)),
+        )
+        try:
+            from PIL import Image as PILImage
+
+            rgba = (np.nan_to_num(np.clip(expl, 0, 1)) * 255).astype(np.uint8)
+            PILImage.fromarray(rgba, "RGBA").save(
+                os.path.join(out_dir, f"Text_{phrase.replace(' ', '_')}.png")
+            )
+        except Exception:
+            pass
+        results[phrase] = res
+    print(f"wrote {len(results)} text localisations to {out_dir}")
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -382,3 +382,25 @@ def test_localisation_cli_arg_surface():
         ["--experiment_name", "resnet_18", "--smooth", "15"]
     )
     assert args.smooth == 15 and args.analysis_config == "500_3x3"
+
+
+def test_text_localisation_cli_arg_surface():
+    """Runnable text-localisation CLI keeps the reference flag names
+    (ref text_localisation.py:168-182)."""
+    from bcosification_tpu.interpretability.analyses.text_localisation import (
+        argument_parser,
+    )
+
+    parser = argument_parser()
+    flags = {a for act in parser._actions for a in act.option_strings}
+    for ref_flag in (
+        "--exp_name", "--text_to_localize", "--exp_name_data",
+        "--image_index", "--use_attn_unpool", "--pool_cosine",
+        "--norm_max_cosine", "--smooth", "--random_img_path",
+        "--use_class_name", "--save_path",
+    ):
+        assert ref_flag in flags, ref_flag
+    args = parser.parse_args(
+        ["--exp_name", "x", "--text_to_localize", "a dog,a cat"]
+    )
+    assert args.pool_cosine == 1 and args.image_index == 11
