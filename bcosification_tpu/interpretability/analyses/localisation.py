@@ -182,7 +182,10 @@ class LocalisationAnalyser(Analyser):
         n_imgs = self.config["n_imgs"]
         sample_size = self.config["sample_size"]
         explainer = get_explainer(
-            self.model, self.variables, self.config["explainer_name"]
+            self.model,
+            self.variables,
+            self.config["explainer_name"],
+            **self.config.get("explainer_kwargs", {}),
         )
         smooth = self.config["smooth"]
 
@@ -217,6 +220,15 @@ class LocalisationAnalyser(Analyser):
         result = np.concatenate(metric) if metric else np.zeros(0)
         if self.config["neg"]:
             result = 1 - result
+        if not len(result):
+            print(
+                "Localisation metric is EMPTY: no grids of "
+                f"{self.config['n_imgs']} distinct confidently-CORRECTLY-"
+                "classified classes could be built (reference semantics, "
+                "localisation.py:127-172 — wrongly classified images are "
+                "excluded). An untrained/early-epoch model typically "
+                "classifies nothing correctly."
+            )
         if len(result):
             print(
                 f"Mean localisation metric: {result.mean():.4f} "
