@@ -238,6 +238,28 @@ class LocalisationAnalyser(Analyser):
         return {"localisation_metric": result}
 
 
+def make_datamodule_for_config(experiment, cfg):
+    """Build the eval datamodule for an analysis config, applying the
+    rescale-mode transform override (reference localisation.py:256-265:
+    shrink the eval transform by the grid size so the n x n multi-image has
+    the model's native input resolution). Shared by the CLI and the sweep."""
+    dm_overrides = {}
+    if cfg.get("do_rescale"):
+        prev = experiment.config["data"]["test_transform"]
+        prev_args = getattr(prev, "args", {})
+        if "crop_size" not in prev_args:
+            raise ValueError(
+                "rescale mode needs a resize/crop test transform preset "
+                "(no crop_size on the experiment's test_transform)"
+            )
+        n = int(cfg["n_imgs"] ** 0.5)
+        dm_overrides["test_transform"] = prev.with_args(
+            crop_size=prev_args["crop_size"] // n,
+            resize_size=prev_args.get("resize_size", 256) // n,
+        )
+    return experiment.get_datamodule(**dm_overrides)
+
+
 def argument_parser(add_help: bool = True):
     """Reference-compatible CLI (`/root/reference/interpretability/analyses/
     localisation.py:476-541`), plus the (dataset, base_network,
@@ -259,9 +281,14 @@ def argument_parser(add_help: bool = True):
     parser.add_argument("--ema", action="store_true", default=False)
     parser.add_argument("--explainer_name", default="Ours")
     parser.add_argument("--analysis_config", default="500_3x3")
-    parser.add_argument("--striding", default="none",
-                        help="none | stride=<S> (ViT non-linear-kernel mode)")
-    parser.add_argument("--explainer_config", default="default")
+    parser.add_argument("--striding", default=None,
+                        help="bare stride integer, e.g. 4, or 'none' "
+                             "(default: whatever the analysis_config "
+                             "encodes, e.g. '..._stride=14')")
+    parser.add_argument("--explainer_config", default="default",
+                        help="explainer kwarg preset name from "
+                             "explanation_configs ('default' keeps the "
+                             "explainer's own preset)")
     parser.add_argument("--batch_size", default=64, type=int)
     parser.add_argument("--smooth", required=True, type=int,
                         help="attribution smoothing (avg_pool) kernel")
@@ -299,13 +326,17 @@ def main(config=None):
         explainer_name=config.explainer_name,
         smooth=config.smooth,
         batch_size=config.batch_size,
-        striding=config.striding,
     )
+    if config.striding is not None:  # else: keep the config's encoded value
+        cfg["striding"] = config.striding
     if config.explainer_config != "default":
-        cfg["explainer_kwargs"] = explanation_configs.get(
-            config.explainer_config, {}
-        )
-    dm = experiment.get_datamodule()
+        if config.explainer_config not in explanation_configs:
+            raise ValueError(
+                f"unknown --explainer_config {config.explainer_config!r}; "
+                f"available: {sorted(explanation_configs)}"
+            )
+        cfg["explainer_kwargs"] = explanation_configs[config.explainer_config]
+    dm = make_datamodule_for_config(experiment, cfg)
     dm.setup("test")
     import os as _os
 

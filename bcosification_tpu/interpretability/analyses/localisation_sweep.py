@@ -37,25 +37,17 @@ def main():
     runs = [(e, c) for e in args.explainers for c in args.analysis_configs]
     rank = int(os.environ.get("RANK", 0))
     world = int(os.environ.get("WORLD_SIZE", 1))
+    from bcosification_tpu.interpretability.analyses.localisation import (
+        make_datamodule_for_config,
+    )
+
     for explainer, cfg_name in runs[rank::world]:
         cfg = loc_configs[cfg_name]
-        dm_overrides = {}
-        if cfg.get("do_rescale"):
-            # rescale mode (reference localisation.py:256-265): shrink the
-            # eval transform by the grid size so the n x n multi-image has the
-            # model's native input resolution.
-            prev = experiment.config["data"]["test_transform"]
-            prev_args = getattr(prev, "args", {})
-            if "crop_size" not in prev_args:
-                print(f"skip {cfg_name}: test transform has no crop_size "
-                      "(rescale mode needs a resize/crop preset)")
-                continue
-            n = int(cfg["n_imgs"] ** 0.5)
-            dm_overrides["test_transform"] = prev.with_args(
-                crop_size=prev_args["crop_size"] // n,
-                resize_size=prev_args.get("resize_size", 256) // n,
-            )
-        dm = experiment.get_datamodule(**dm_overrides)
+        try:
+            dm = make_datamodule_for_config(experiment, cfg)
+        except ValueError as e:  # rescale without a crop preset
+            print(f"skip {cfg_name}: {e}")
+            continue
         dm.setup("test")
         save = os.path.join(
             args.save_root, args.experiment_name, cfg_name, explainer

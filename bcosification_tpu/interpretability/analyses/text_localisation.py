@@ -184,7 +184,31 @@ def main(config=None):
     except FileNotFoundError:
         print("No trained checkpoint; using conversion-time init")
         student, student_vars = experiment.get_model()
-    _, _, text_model, text_vars, _, _ = clip_load("RN50")
+    # the text tower must match the student's CLIP architecture (embed dims
+    # differ between RN50 and ViT towers) — same resolution as the trainer
+    from bcosification_tpu.clip.load import MODEL_CONFIG_CLIP_NAMES
+
+    model_cfg = experiment.config.get("model", {})
+    clip_name = MODEL_CONFIG_CLIP_NAMES.get(
+        model_cfg.get("name", "resnet50clip"), "RN50"
+    )
+    _, _, text_model, text_vars, _, _ = clip_load(clip_name)
+
+    # attn-unpool is a MODEL property (built from model_config['attn_unpool']);
+    # the flag cannot retrofit it — validate instead of silently diverging
+    model_unpool = bool(model_cfg.get("attn_unpool", False))
+    if config.use_attn_unpool and not model_unpool:
+        raise ValueError(
+            "--use_attn_unpool given but the experiment was not built with "
+            "attn_unpool (model_config['attn_unpool'] is falsy)"
+        )
+    if model_unpool and not config.use_attn_unpool:
+        print(
+            "note: experiment uses attn_unpool; applying its cos_power "
+            "(pass --use_attn_unpool --pool_cosine to override)"
+        )
+        config.use_attn_unpool = True
+        config.pool_cosine = int(model_cfg.get("cos_power", config.pool_cosine))
 
     if config.random_img_path:
         image = _load_image(config.random_img_path)
@@ -194,6 +218,11 @@ def main(config=None):
         dm.setup("test")
         img_arr, label = dm.eval_dataset[config.image_index]
         image = jnp.asarray(np.asarray(img_arr)[None])
+        if image.shape[-1] == 3:
+            # CLIP eval presets stop at raw [0,1] 3-channel tensors (the
+            # AddInverse encode happens model-side in training); the student
+            # here takes AddInverse input directly
+            image = jnp.concatenate([image, 1.0 - image], axis=-1)
         from bcosification_tpu.data.categories import imagenet_class_index
 
         class_name = imagenet_class_index()[str(int(label))][1]

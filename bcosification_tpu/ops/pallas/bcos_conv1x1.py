@@ -270,7 +270,10 @@ def bcos_conv1x1_bn_act(
     m = x4.shape[0] * x4.shape[1] * x4.shape[2]
     if (
         fused_enabled()
-        and not guided.guided_mode()  # Pallas custom VJP can't gate the ReLU
+        # the Pallas custom VJP hard-codes the plain ReLU mask — defer to
+        # the guided-backprop / DeepLIFT custom ReLU VJPs when those trace
+        and not guided.guided_mode()
+        and not guided.deeplift_mode()
         and explain
         and bias is None
         and x_sumsq is not None

@@ -7,8 +7,14 @@ test loader. XLA on TPU is deterministic for this inference graph (the
 reference needs `torch.use_deterministic_algorithms(True)`, evaluate.py:74-75).
 """
 import argparse
+import os
 
 import jax
+
+if os.environ.get("JAX_PLATFORMS"):
+    # see train.py: the axon sitecustomize overrides the env var
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import jax.numpy as jnp
 import numpy as np
 

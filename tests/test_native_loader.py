@@ -171,3 +171,34 @@ def test_dataset_smaller_than_batch(jpeg_dir):
     np.testing.assert_array_equal(
         batches[0]["label"], np.asarray(labels[:3] + labels[:1])
     )
+
+
+def test_shipped_binary_is_current(jpeg_dir, monkeypatch):
+    """The temp-dir fixture build means the other tests never touch the
+    CHECKED-IN .so — this one does: its ABI version must match the binding
+    and it must still emit eval batches in submission order (guards against
+    shipping a stale binary whose ABI was not bumped)."""
+    import ctypes
+    import pathlib
+
+    import bcosification_tpu.data.native_loader as nl
+
+    shipped = pathlib.Path(__file__).parents[1] / "native" / "libbcos_loader.so"
+    assert shipped.exists()
+    lib = ctypes.CDLL(str(shipped))
+    lib.bcos_loader_abi_version.restype = ctypes.c_int
+    assert lib.bcos_loader_abi_version() == nl._ABI_VERSION, (
+        "checked-in native/libbcos_loader.so is stale: "
+        "`make -B -C native` and commit the rebuilt binary"
+    )
+
+    monkeypatch.setattr(nl, "_LIB_PATHS", [shipped])
+    monkeypatch.setattr(nl, "_lib", None)
+    paths, labels = jpeg_dir
+    loader = NativeImageLoader(
+        paths, labels, out_size=16, resize_size=20, batch_size=4,
+        num_threads=4, mode="eval",
+    )
+    got = np.concatenate([b["label"] for b in loader])
+    np.testing.assert_array_equal(got, np.asarray(labels))
+    nl._lib = None  # do not leak the shipped lib into other tests

@@ -8,9 +8,19 @@ map to their TPU-native equivalents (the mesh always spans all local devices;
 --amp selects the bf16 compute policy).
 """
 import argparse
+import os
 import pdb
 import sys
 import traceback
+
+if os.environ.get("JAX_PLATFORMS"):
+    # The axon sitecustomize registers the TPU plugin in every python
+    # process and sets jax_platforms="axon,cpu", silently overriding the
+    # JAX_PLATFORMS env var. Restore the documented env-var semantics for
+    # this entry point (tests/CPU runs rely on it; see CLAUDE.md).
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 from bcosification_tpu.experiments.utils.config_utils import (
     get_configs_and_model_factory,
