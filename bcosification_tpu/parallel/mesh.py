@@ -53,9 +53,18 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """Device_put each leaf with its batch axis sharded over 'data'."""
+    """Device_put each leaf with its batch axis sharded over 'data'.
+
+    Leaves whose batch axis is not divisible by the data-axis size (the
+    ragged LAST evaluation batch: val sets are rarely a multiple of
+    devices*batch) are placed replicated instead — jitted steps accept any
+    input sharding, so this trades a bit of redundant compute on the tail
+    batch for never crashing mid-validation on a pod."""
+    n_data = mesh.shape.get("data", 1)
 
     def put(x):
+        if np.ndim(x) == 0 or np.shape(x)[0] % n_data != 0:
+            return jax.device_put(x, replicated_sharding(mesh))
         return jax.device_put(x, data_sharding(mesh, np.ndim(x)))
 
     return jax.tree_util.tree_map(put, batch)

@@ -248,3 +248,27 @@ def test_grad_accumulation_matches_big_batch(rng):
         ),
         jax.device_get(st_a.params), jax.device_get(st_b.params),
     )
+
+
+def test_shard_batch_ragged_last_batch():
+    """A validation batch not divisible by the data-axis size (the last
+    batch of any real val set) must be placed replicated, not crash —
+    surfaced by the train.py CLI roundtrip under an 8-device mesh."""
+    import numpy as np
+
+    from bcosification_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.make_mesh(8)
+    batch = {
+        "image": np.ones((5, 4, 4, 6), np.float32),
+        "label": np.arange(5, dtype=np.int32),
+    }
+    out = mesh_lib.shard_batch(batch, mesh)  # 5 % 8 != 0 -> replicated
+    np.testing.assert_array_equal(np.asarray(out["label"]), batch["label"])
+    even = {
+        "image": np.ones((16, 4, 4, 6), np.float32),
+        "label": np.arange(16, dtype=np.int32),
+    }
+    out2 = mesh_lib.shard_batch(even, mesh)
+    assert len(out2["image"].sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(out2["label"]), even["label"])
