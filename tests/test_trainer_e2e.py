@@ -109,7 +109,6 @@ def test_trainer_fit_and_resume(tmp_path):
     # validation of the converted model is recorded at epoch -1 (json/
     # history only, not the fixed-schema csv)
     assert trainer.metrics_history["initial_val_acc1"][0][0] == -1
-    import csv as _csv
 
     with open(exp.save_dir / "metrics.csv") as f:
         header = f.readline()
