@@ -94,6 +94,89 @@ def normed_linear_weight(w: jax.Array, scale: Optional[jax.Array] = None) -> jax
     return w
 
 
+def _s2d_conv_s2(x, w, padding: Tuple[int, int]):
+    """k x k stride-2 conv as space-to-depth + ONE dense stride-1 conv.
+
+    The classic TPU ResNet stem reformulation: write input index j = 2m + p
+    (p in {0,1} the phase); then y[q] = sum_k w[k] x[2q + k - pad] becomes a
+    stride-1 conv over the phase-stacked input xs[m, (p, c)] = x[2m + p, c]
+    with kernel taps at m - q = (k - pad - p) / 2 for each valid (k, p).
+    Exact (same summands, reassociated). Why it matters here: the RN50 stem's
+    7x7/s2 6-channel conv backward is an input-dilated conv (75% zero MXU
+    work, 6 of 128 lanes — measured 1.9 ms vs ~0.15 ideal,
+    scripts/perf_probe6.py); in s2d form the autodiff transpose is a dense
+    stride-1 conv over 24 channels with NO dilation, and the forward reads
+    the same bytes through a better-tiled layout. Ref hot loop:
+    `/root/reference/bcos/modules/bcosconv2d.py:153-231` (the stem instance).
+
+    Requires: stride 2 both dims, even input H/W, groups=1, dilation=1, and
+    output size == H/2 (i.e. padding = (k-1)//2 for odd k).
+    """
+    kh, kw, cin, cout = w.shape
+    n, h, wd, _ = x.shape
+    xs = (
+        x.reshape(n, h // 2, 2, wd // 2, 2, cin)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(n, h // 2, wd // 2, 4 * cin)
+    )
+
+    def taps(k_size, pad):
+        per_phase = {}
+        for p in (0, 1):
+            per_phase[p] = [
+                ((k - pad - p) // 2, k)
+                for k in range(k_size)
+                if (k - pad - p) % 2 == 0
+            ]
+        return per_phase
+    ty, tx = taps(kh, padding[0]), taps(kw, padding[1])
+    min_y = min(o for v in ty.values() for o, _ in v)
+    max_y = max(o for v in ty.values() for o, _ in v)
+    min_x = min(o for v in tx.values() for o, _ in v)
+    max_x = max(o for v in tx.values() for o, _ in v)
+    sy, sx = max_y - min_y + 1, max_x - min_x + 1
+
+    w4 = jnp.zeros((sy, sx, 4 * cin, cout), w.dtype)
+    for py in (0, 1):
+        for px in (0, 1):
+            c0 = (py * 2 + px) * cin
+            for oy, ky in ty[py]:
+                for ox, kx in tx[px]:
+                    w4 = w4.at[oy - min_y, ox - min_x, c0 : c0 + cin].set(w[ky, kx])
+
+    return lax.conv_general_dilated(
+        xs,
+        w4,
+        window_strides=(1, 1),
+        padding=((-min_y, sy - 1 + min_y), (-min_x, sx - 1 + min_x)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=lax.Precision.HIGHEST if x.dtype == jnp.float32 else None,
+    )
+
+
+def _s2d_applicable(x, w, stride, padding, dilation, groups) -> bool:
+    import os
+
+    if os.getenv("BCOS_S2D_STEM", "1") != "1":
+        return False
+    kh, kw = w.shape[0], w.shape[1]
+    return (
+        _pair(stride) == (2, 2)
+        and _pair(dilation) == (1, 1)
+        and groups == 1
+        and kh >= 3
+        and kw >= 3
+        and _pair(padding) == ((kh - 1) // 2, (kw - 1) // 2)
+        and kh % 2 == 1
+        and kw % 2 == 1
+        and x.shape[1] % 2 == 0
+        and x.shape[2] % 2 == 0
+        # the big-spatial/small-channel regime where the dilated transpose
+        # hurts; deep stride-2 convs (256+ channels) are already MXU-bound
+        and x.shape[-1] <= 64
+    )
+
+
 def _conv(x, w, stride, padding, dilation, groups):
     # HIGHEST keeps fp32 convs exactly fp32 (XLA's default may strength-reduce).
     # bf16 inputs ride the MXU, which accumulates in fp32 regardless of the
@@ -114,6 +197,8 @@ def _conv(x, w, stride, padding, dilation, groups):
             precision=lax.Precision.HIGHEST if x.dtype == jnp.float32 else None,
         )
         return y.reshape(n, h, ww, -1)
+    if _s2d_applicable(x, w, stride, padding, dilation, groups):
+        return _s2d_conv_s2(x, w, (_pair(padding)[0], _pair(padding)[1]))
     return lax.conv_general_dilated(
         x,
         w,

@@ -489,13 +489,26 @@ class Trainer:
                     }
                 )
                 dm.setup("test")
-                w = zs_lib.zeroshot_classifier(
-                    text_model, text_vars, dm.CATEGORIES, imagenet_templates
-                )
+                if (
+                    name == "ImageNet"
+                    and settings.IMAGENET_RN50_ZEROSHOT_WEIGHTS_PATH
+                ):
+                    # precomputed classifier matrix, like the reference's
+                    # get_imagenet_zeroshot_weights (trainer.py:47-48,
+                    # 1073-1087) — avoids re-encoding 80k prompts per epoch
+                    w = zs_lib.load_zeroshot_weights(
+                        settings.IMAGENET_RN50_ZEROSHOT_WEIGHTS_PATH
+                    )
+                else:
+                    w = zs_lib.zeroshot_classifier(
+                        text_model, text_vars, dm.CATEGORIES, imagenet_templates
+                    )
                 acc = zs_lib.zeroshot_evaluate(encode, dm.test_dataloader(), w)
                 results[f"zeroshot_{name}_acc1"] = acc["acc1"]
-        except Exception as e:  # data not present — skip silently like rank>0
-            print(f"zeroshot eval skipped: {e}")
+        except (FileNotFoundError, NotADirectoryError) as e:
+            # ONLY missing-data errors are skippable (like the reference's
+            # rank>0 silence); real bugs in the zeroshot path must propagate
+            print(f"zeroshot eval skipped (data not present): {e}")
         return results
 
     def validate(self, eval_step, state, datamodule) -> Dict[str, float]:

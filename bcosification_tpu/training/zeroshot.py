@@ -15,7 +15,38 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["zeroshot_classifier", "zeroshot_predict_logits", "zeroshot_evaluate"]
+__all__ = [
+    "zeroshot_classifier",
+    "zeroshot_predict_logits",
+    "zeroshot_evaluate",
+    "save_zeroshot_weights",
+    "load_zeroshot_weights",
+]
+
+
+def save_zeroshot_weights(path: str, weights) -> None:
+    """Persist a [D, C] zeroshot classifier matrix (the reference precomputes
+    this once and `torch.load`s it per epoch, trainer.py:47-48)."""
+    np.save(path, np.asarray(weights, dtype=np.float32), allow_pickle=False)
+
+
+def load_zeroshot_weights(path: str) -> jnp.ndarray:
+    """Load a precomputed zeroshot classifier (trainer.py:47-48
+    `get_imagenet_zeroshot_weights`). Accepts .npy (ours) or a torch-saved
+    tensor file (the reference's format) when torch is importable."""
+    if path.endswith((".npy", ".npz")):
+        arr = np.load(path, allow_pickle=False)
+        if hasattr(arr, "files"):  # npz: single array expected
+            arr = arr[arr.files[0]]
+    else:
+        import torch
+
+        arr = torch.load(path, map_location="cpu")
+        arr = arr.detach().cpu().numpy() if hasattr(arr, "detach") else np.asarray(arr)
+    w = jnp.asarray(np.asarray(arr, dtype=np.float32))
+    if w.ndim != 2:
+        raise ValueError(f"zeroshot weights must be [D, C], got shape {w.shape}")
+    return w
 
 
 def zeroshot_classifier(

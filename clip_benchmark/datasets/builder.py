@@ -30,7 +30,7 @@ CAPTION_DATASETS = {"sugar_crepe", "winoground"}
 
 def get_dataset_default_task(dataset_name: str) -> str:
     name = dataset_name.split("/")[-1]
-    if name in RETRIEVAL_DATASETS:
+    if name in RETRIEVAL_DATASETS or name == "dummy_retrieval":
         return "zeroshot_retrieval"
     if name in CAPTION_DATASETS:
         return "image_caption_selection"
@@ -56,6 +56,19 @@ class DummyDataset:
         if self.transform is not None:
             img = self.transform(img)
         return np.asarray(img, np.float32), self.targets[i]
+
+
+class DummyRetrievalDataset(DummyDataset):
+    """Synthetic image+captions set for retrieval/captioning smoke runs
+    (upstream's `dataset="dummy"` analogue for the caption tasks)."""
+
+    def __getitem__(self, i):
+        img = self.images[i]
+        if self.transform is not None:
+            img = self.transform(img)
+        cls = self.classes[self.targets[i]]
+        caps = [f"a photo of a {cls}.", f"the {cls}."]
+        return np.asarray(img, np.float32), caps
 
 
 class WdsClassificationDataset:
@@ -147,6 +160,8 @@ def build_dataset(
 ):
     if dataset_name == "dummy":
         return DummyDataset(transform=transform)
+    if dataset_name == "dummy_retrieval":
+        return DummyRetrievalDataset(transform=transform)
     if dataset_name.startswith("wds/"):
         name = dataset_name[len("wds/") :]
         root = root.format(dataset=name.replace("/", "-"), dataset_cleaned=name.replace("/", "-")) if "{" in root else root
@@ -180,7 +195,20 @@ def build_dataset(
     raise ValueError(f"Unsupported dataset {dataset_name!r}")
 
 
+def image_captions_collate(samples):
+    """Collate (image, captions) pairs: stack images, keep captions as a list
+    of per-image caption lists (default_collate would coerce them into string
+    ndarrays, which the retrieval/captioning metrics then mis-wrap as a
+    single caption — upstream ships the same dedicated collate)."""
+    images = np.stack([np.asarray(img, np.float32) for img, _ in samples])
+    captions = [list(caps) if isinstance(caps, (list, tuple)) else [caps] for _, caps in samples]
+    return images, captions
+
+
 def get_dataset_collate_fn(dataset_name: str):
     from bcosification_tpu.data.loader import default_collate
 
+    name = dataset_name.split("/")[-1]
+    if name in RETRIEVAL_DATASETS or name in CAPTION_DATASETS or name == "dummy_retrieval":
+        return image_captions_collate
     return default_collate

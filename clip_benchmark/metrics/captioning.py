@@ -14,7 +14,8 @@ the same corpus-level semantics:
 - CIDEr (CIDEr-D, as pycocoevalcap's Cider computes): tf-idf 1..4-gram cosine
   with count clipping and gaussian length penalty (sigma=6), x10.
 
-METEOR and SPICE require external Java toolchains and are reported as NaN.
+METEOR is computed natively (meteor.py); SPICE requires the external Java
+scene-graph toolchain and is reported as the string "unsupported".
 
 The model bundle must expose ``generate(images) -> list[str]`` (decoded
 captions); B-cosification never trains a captioner, so this is exercised by
@@ -180,9 +181,11 @@ def evaluate(model_bundle, loader, verbose: bool = False) -> Dict[str, float]:
         "METEOR": meteor(candidates, references),  # pure-Python (see meteor.py)
         "ROUGE_L": rouge_l(candidates, references),
         "CIDEr": cider_d(candidates, references),
-        "SPICE": float("nan"),  # requires the Java SPICE scene-graph toolchain
+        # honest capability report (not a silent NaN): SPICE needs the Java
+        # scene-graph toolchain the reference gets via pycocoevalcap
+        "SPICE": "unsupported",
     }
     if verbose:
         for k, v in metrics.items():
-            print(f"{k}: {v:.3f}")
+            print(f"{k}: {v:.3f}" if isinstance(v, float) else f"{k}: {v}")
     return metrics

@@ -26,6 +26,7 @@ MODEL_TYPES = [
     "standard_clip",
     "bcos_clip",
     "bcos_clip_cc3m",
+    "bcos_captioner",
     "text2concept_clip",
     "ja_clip",
     "nllb_clip",
@@ -125,6 +126,50 @@ def _load_bcos_clip(model_name: str, pretrained: str, experiment_path: Optional[
     return bundle, _addinverse_transform(), tokenize
 
 
+def _load_bcos_captioner(
+    model_name: str, pretrained: str, experiment_path: Optional[str]
+):
+    """The in-framework generative bundle for `--task captioning`: a B-cos
+    CLIP image tower + the trainable greedy caption head
+    (bcosification_tpu/models/captioner.py). ``pretrained`` may point to a
+    saved head params .npz (written by flax serialization in training code);
+    otherwise the head is random-init (the task still runs end-to-end,
+    mirroring the reference's untrained-model fallback behaviour)."""
+    from bcosification_tpu.models import captioner as cap_lib
+
+    bundle, transform, tok = _load_bcos_clip(model_name, "", experiment_path)
+    head = cap_lib.GreedyCaptioner(vocab_size=49408)
+
+    def feature_dim():
+        probe = jnp.zeros((1, 224, 224, 6), jnp.float32)
+        return jax.eval_shape(bundle.encode_image, probe).shape[-1]
+
+    variables = head.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, feature_dim()), jnp.float32),
+        jnp.zeros((1, 1), jnp.int32),
+    )
+    if pretrained and pretrained.endswith(".npz"):
+        import flax.serialization
+
+        with open(pretrained, "rb") as f:
+            variables = flax.serialization.from_bytes(variables, f.read())
+
+    encode = jax.jit(bundle.encode_image)
+    gen = jax.jit(lambda feats: cap_lib.greedy_generate(head, variables, feats))
+
+    def generate(images) -> List[str]:
+        feats = encode(jnp.asarray(images))
+        if feats.ndim == 3:  # attn-unpool spatial features -> mean-pool
+            feats = feats.mean(axis=1)
+        return cap_lib.decode_tokens(np.asarray(gen(feats)), eos=head.eos)
+
+    bundle.generate = generate
+    bundle.caption_head = head
+    bundle.caption_variables = variables
+    return bundle, transform, tok
+
+
 def _load_standard_clip(model_name: str, pretrained: str):
     from bcosification_tpu.clip.load import load as clip_load
     from bcosification_tpu.clip.tokenizer import tokenize
@@ -157,6 +202,8 @@ def load_clip(
         )
     if model_type == "standard_clip":
         return _load_standard_clip(model_name, pretrained)
+    if model_type == "bcos_captioner":
+        return _load_bcos_captioner(model_name, pretrained, experiment_path)
     if model_type == "text2concept_clip":
         # align a (B-cos) vision model's features into CLIP space
         bundle, transform, tok = _load_bcos_clip(model_name, pretrained, experiment_path)

@@ -7,6 +7,7 @@ leaf modules we need (and their torch-only deps) get executed. Used purely as a
 numerical oracle in tests — the framework itself never imports these.
 """
 import importlib
+import importlib.util
 import sys
 import types
 from pathlib import Path
@@ -48,3 +49,72 @@ def load_reference(name: str):
     """Import e.g. 'bcos.modules.bcosconv2d' from the reference tree."""
     _stub_packages()
     return importlib.import_module(name)
+
+
+def _stub_torchvision():
+    """Minimal torchvision.transforms.Normalize so the reference's root
+    bcosify.py imports without torchvision (not installed here). Semantics are
+    exactly torchvision's: channelwise (x - mean) / std, differentiable."""
+    if "torchvision" in sys.modules:
+        return
+    import torch
+
+    class Normalize:
+        def __init__(self, mean, std, inplace=False):
+            self.mean = mean
+            self.std = std
+
+        def __call__(self, t):
+            mean = torch.as_tensor(self.mean, dtype=t.dtype, device=t.device)
+            std = torch.as_tensor(self.std, dtype=t.dtype, device=t.device)
+            shape = [1] * (t.ndim - 3) + [-1, 1, 1]
+            return (t - mean.view(shape)) / std.view(shape)
+
+    tv = types.ModuleType("torchvision")
+    tvt = types.ModuleType("torchvision.transforms")
+    tvt.Normalize = Normalize
+    tv.transforms = tvt
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.transforms"] = tvt
+
+
+def load_reference_bcosify():
+    """Import the reference's ROOT-level bcosify.py (the BcosifyNetwork module
+    rewriter, `/root/reference/bcosify.py`) with its torchvision / CLIP / bcos
+    package imports satisfied from the reference tree. Used as the end-to-end
+    b=2 oracle."""
+    if "bcosify" in sys.modules:
+        return sys.modules["bcosify"]
+    _stub_packages()
+    _stub_torchvision()
+    for name, path in [
+        ("CLIP", REFERENCE / "CLIP"),
+        ("CLIP.clip", REFERENCE / "CLIP" / "clip"),
+    ]:
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            mod.__path__ = [str(path)]
+            sys.modules[name] = mod
+    # bcosify.py does `from bcos.modules import ...` / `from ...uncentered_norms
+    # import ...` — populate the stub packages with exactly those attrs (the
+    # real __init__ files would drag in every module).
+    mods = sys.modules["bcos.modules"]
+    if not hasattr(mods, "LogitLayer"):
+        mods.BcosAttentionPool2d = load_reference(
+            "bcos.modules.bcosattnpool"
+        ).BcosAttentionPool2d
+        common = load_reference("bcos.modules.common")
+        mods.BcosSequential = common.BcosSequential
+        mods.LogitLayer = load_reference("bcos.modules.logitlayer").LogitLayer
+    unc = sys.modules["bcos.modules.norms.uncentered_norms"]
+    if not hasattr(unc, "BatchNormUncentered2d"):
+        unc.BatchNormUncentered2d = load_reference(
+            "bcos.modules.norms.uncentered_norms.batchnorm_uncentered"
+        ).BatchNormUncentered2d
+    spec = importlib.util.spec_from_file_location(
+        "bcosify", REFERENCE / "bcosify.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["bcosify"] = mod
+    spec.loader.exec_module(mod)
+    return mod

@@ -179,7 +179,7 @@ def test_captioning_evaluate_with_generative_bundle():
     # "a" (P=1/3, R=1/3, Fmean=1/3, penalty=0.5 -> 1/6); corpus = mean
     want_meteor = ((1 - 0.5 / 27) + (1 / 3) * 0.5) / 2
     assert metrics["METEOR"] == pytest.approx(want_meteor)
-    assert np.isnan(metrics["SPICE"])  # documented-absent (Java scene graphs)
+    assert metrics["SPICE"] == "unsupported"  # honest capability report
     assert "CIDEr" in metrics and np.isfinite(metrics["CIDEr"])
 
 
