@@ -300,6 +300,9 @@ def argument_parser(add_help: bool = True):
 
 
 def main(config=None):
+    from bcosification_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     from bcosification_tpu.experiments.utils import Experiment
     from bcosification_tpu.interpretability.analyses.localisation_configs import (
         configs as loc_configs,

@@ -52,8 +52,10 @@ def compute_attributions(
     (text_localisation.py:68-126). Returns dict with W(x), contribution map,
     and colour explanation."""
 
-    def score_fn(x):
-        feats = student.apply(student_vars, x, train=False, explain=True)
+    def head_fn(feats):
+        """feats -> scalar score (the pooling head of text_localisation.py:
+        80-95); all pooling weights are stop-gradded, so the backward through
+        it is linear in feats."""
         if feats.ndim == 3:  # attn-unpool [B, HW, D]
             logits = feats @ text_embedding  # [B, HW]
             if max_norm:
@@ -76,7 +78,18 @@ def compute_attributions(
         )
         return (feats @ text_embedding).sum()
 
-    score, grad = jax.value_and_grad(score_fn)(image)
+    from bcosification_tpu.explain import fast_clip
+
+    if fast_clip.supports(student):
+        # hand-scheduled trunk backward (identical values/W, faster on TPU)
+        feats, vjp_fn = fast_clip.fast_encode_and_vjp(student, student_vars, image)
+        score, head_vjp = jax.vjp(head_fn, feats)
+        (ct_feats,) = head_vjp(jnp.ones_like(score))
+        grad = vjp_fn(ct_feats)
+    else:
+        score, grad = jax.value_and_grad(
+            lambda x: head_fn(student.apply(student_vars, x, train=False, explain=True))
+        )(image)
     contribs = (image * grad).sum(-1)[0]
     explanation = gradient_to_image(image[0], grad[0])
     return {
@@ -167,6 +180,10 @@ def _load_image(path: str):
 
 def main(config=None):
     import os
+
+    from bcosification_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
 
     from bcosification_tpu.clip.load import load as clip_load
     from bcosification_tpu.data.imagenet import imagenet_templates

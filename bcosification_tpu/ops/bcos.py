@@ -155,9 +155,18 @@ def _s2d_conv_s2(x, w, padding: Tuple[int, int]):
 
 
 def _s2d_applicable(x, w, stride, padding, dilation, groups) -> bool:
+    # MEASURED THROUGHPUT-NEUTRAL on v5e for the headline bench (RN50
+    # fwd+explain bf16 batch 128, round 3, interleaved A/B: s2d off
+    # 4065/4131/4757 img/s vs on 4057/4099/4576 — differences are inside the
+    # axon tunnel's run-to-run spread, which is bimodal at ~4100/~4600).
+    # The default fast pass already phase-decomposes the stem transpose
+    # (_convT2x), so s2d only changes the forward conv there. Kept opt-in
+    # (BCOS_S2D_STEM=1, exact — tests/test_s2d_stem.py) because it DOES fix
+    # the 1.9 ms dilated stem dx for pure-autodiff consumers (perf_probe6).
+    # See docs/PERF.md round-3.
     import os
 
-    if os.getenv("BCOS_S2D_STEM", "1") != "1":
+    if os.getenv("BCOS_S2D_STEM", "0") != "1":
         return False
     kh, kw = w.shape[0], w.shape[1]
     return (

@@ -106,6 +106,9 @@ def world_info_from_env():
 
 
 def main():
+    from bcosification_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     parser, base = get_parser_args()
     if not hasattr(base, "which"):
         parser.print_help()

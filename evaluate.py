@@ -104,4 +104,7 @@ def run_evaluation(args):
 
 
 if __name__ == "__main__":
+    from bcosification_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     run_evaluation(get_parser().parse_args())

@@ -74,10 +74,29 @@ def main():
             best = per if best is None else min(best, per)
         return best
 
+    from bcosification_tpu.explain import fast_clip
+
+    @partial(jax.jit, static_argnums=(3,))
+    def fast_explain_loop(variables, x, t, n):
+        def body(i, carry):
+            acc, xx = carry
+            s, w = fast_clip.fast_text_dlw(student, variables, xx, t)
+            acc = acc + s.sum().astype(jnp.float32) + (xx * w).sum().astype(jnp.float32)
+            xx = xx + (1e-12 * acc).astype(xx.dtype)
+            return acc, xx
+
+        return jax.lax.fori_loop(0, n, body, (jnp.float32(0), x))[0]
+
     tf = slope(fwd_loop)
     print(f"CLIP image-tower forward (B={B}): {tf*1e3:.2f} ms = {B/tf:.0f} img/s/chip")
     te = slope(explain_loop)
     print(f"CLIP text-grounded fwd+explain (B={B}): {te*1e3:.2f} ms = {B/te:.0f} img/s/chip")
+    if fast_clip.supports(student):
+        tfast = slope(fast_explain_loop)
+        print(
+            f"CLIP text-grounded fwd+explain FAST (B={B}): {tfast*1e3:.2f} ms = "
+            f"{B/tfast:.0f} img/s/chip"
+        )
 
 
 if __name__ == "__main__":

@@ -36,7 +36,8 @@ def test_s2d_conv_matches_dilated(rng, k, h, cin, cout):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
 
 
-def test_s2d_gating(rng):
+def test_s2d_gating(rng, monkeypatch):
+    monkeypatch.setenv("BCOS_S2D_STEM", "1")
     x = jnp.zeros((1, 64, 64, 6))
     w7 = jnp.zeros((7, 7, 6, 8))
     assert ops._s2d_applicable(x, w7, 2, 3, 1, 1)
@@ -49,14 +50,11 @@ def test_s2d_gating(rng):
         jnp.zeros((1, 64, 64, 256)), jnp.zeros((3, 3, 256, 256)), 2, 1, 1, 1
     )  # deep layers stay on the native path
     assert not ops._s2d_applicable(x, jnp.zeros((1, 1, 6, 8)), 2, 0, 1, 1)  # 1x1
-    os.environ["BCOS_S2D_STEM"] = "0"
-    try:
-        assert not ops._s2d_applicable(x, w7, 2, 3, 1, 1)
-    finally:
-        os.environ["BCOS_S2D_STEM"] = "1"
+    monkeypatch.setenv("BCOS_S2D_STEM", "0")
+    assert not ops._s2d_applicable(x, w7, 2, 3, 1, 1)  # default-off gate
 
 
-def test_s2d_grad_matches(rng):
+def test_s2d_grad_matches(rng, monkeypatch):
     x = jnp.asarray(rng.standard_normal((1, 32, 32, 6)).astype(np.float32))
     w = jnp.asarray(rng.standard_normal((7, 7, 6, 8)).astype(np.float32))
 
@@ -68,7 +66,7 @@ def test_s2d_grad_matches(rng):
         gx1, gw1 = jax.grad(loss, argnums=(0, 1))(x, w, True)
         gx0, gw0 = jax.grad(loss, argnums=(0, 1))(x, w, False)
     finally:
-        os.environ["BCOS_S2D_STEM"] = "1"
+        os.environ.pop("BCOS_S2D_STEM", None)
     np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx0), rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw0), rtol=1e-3, atol=1e-3)
 
@@ -92,4 +90,4 @@ def test_s2d_inside_bcos_conv2d(rng):
             b = np.asarray(run(False, explain))
             np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
     finally:
-        os.environ["BCOS_S2D_STEM"] = "1"
+        os.environ.pop("BCOS_S2D_STEM", None)

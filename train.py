@@ -76,6 +76,9 @@ def _args_validation(args):
 
 
 def main():
+    from bcosification_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     args = get_parser().parse_args()
     _args_validation(args)
     if args.debug:
