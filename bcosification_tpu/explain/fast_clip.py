@@ -91,17 +91,17 @@ def _attnpool_fn(net, p: Dict[str, Any]) -> Callable:
     unpool = m.attnpool == "bcos_unpool"
     heads = m.heads
 
-    def lin(name, t):
+    def lin(name, t, weight_only=False):
         w = p[name]["weight"].astype(t.dtype)
         out = jnp.dot(
             t, w,
             precision=jax.lax.Precision.HIGHEST if t.dtype == jnp.float32 else None,
         )
-        if "bias" in p[name]:
+        if not weight_only and "bias" in p[name]:
             out = out + p[name]["bias"]
         return out
 
-    def cproj(t):
+    def cproj_bcos(t):
         return ops.bcos_linear(
             t,
             p["c_proj"]["weight"],
@@ -115,17 +115,20 @@ def _attnpool_fn(net, p: Dict[str, Any]) -> Callable:
         b, h, w, c = a.shape
         seq = a.reshape(b, h * w, c)
         if unpool:
-            out = cproj(lin("v_proj", seq))
+            out = cproj_bcos(lin("v_proj", seq))
             norm = jax.lax.stop_gradient(
                 jnp.linalg.norm(out, axis=-1, keepdims=True)
             )
             return out / norm  # [B, HW, D]
         seq = jnp.concatenate([seq.mean(axis=1, keepdims=True), seq], axis=1)
         sg = jax.lax.stop_gradient(seq)
-        q = lin("q_proj", sg[:, :1])
-        k = lin("k_proj", sg)
-        v = lin("v_proj", seq)
-        out = cproj(_mha(q, k, v, heads))
+        # pooled path: ALL projections weight-only and c_proj applied PLAIN
+        # (ref bcosattnpool.py:40-59 — F.multi_head_attention_forward with
+        # in_proj_bias=None, out_proj_weight=c_proj.weight)
+        q = lin("q_proj", sg[:, :1], weight_only=True)
+        k = lin("k_proj", sg, weight_only=True)
+        v = lin("v_proj", seq, weight_only=True)
+        out = lin("c_proj", _mha(q, k, v, heads), weight_only=True)
         return out[:, 0]  # [B, D]
 
     return run

@@ -56,7 +56,17 @@ class PlainLinear(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False, explain: bool = False):
+    def __call__(
+        self,
+        x,
+        *,
+        train: bool = False,
+        explain: bool = False,
+        weight_only: bool = False,
+    ):
+        # ``weight_only`` skips the bias — the reference's pooled attnpool
+        # feeds only projection WEIGHTS into F.multi_head_attention_forward
+        # (bcos/modules/bcosattnpool.py:40-59); params stay identical.
         in_features = x.shape[-1]
         bound = 1.0 / math.sqrt(in_features)
         w = self.param(
@@ -75,7 +85,8 @@ class PlainLinear(nn.Module):
                 lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound),
                 (self.features,),
             )
-            out = out + b
+            if not weight_only:
+                out = out + b
         return out
 
 

@@ -510,6 +510,7 @@ class BcosifyLinear(nn.Module):
         train: bool = False,
         explain: bool = False,
         b_override: Optional[jax.Array] = None,
+        weight_only: bool = False,
     ):
         in_features = x.shape[-1]
         w = self.param(
@@ -528,6 +529,18 @@ class BcosifyLinear(nn.Module):
             if self.use_bias
             else None
         )
+        if weight_only:
+            # raw-weight application, no bias / no dynamic scale: the pooled
+            # BcosAttentionPool2d uses c_proj.weight as a PLAIN out-projection
+            # inside attention (ref bcosattnpool.py:40-59 passes it into
+            # F.multi_head_attention_forward, bypassing the B-cos forward)
+            return jnp.dot(
+                x,
+                w.astype(x.dtype),
+                precision=(
+                    jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+                ),
+            )
         return ops.bcos_linear(
             x,
             w,

@@ -105,13 +105,23 @@ class BcosAttentionPool2d(nn.Module):
         if explain:
             q_in = jax.lax.stop_gradient(q_in)
             k_in = jax.lax.stop_gradient(k_in)
-        # bias presence is controlled by the conversion's layer factories
-        # (use_bias=False in the production recipe, model.py:19-24)
-        q = self.linear_layer(self.embed_dim, name="q_proj")(q_in, **f)
-        k = self.linear_layer(self.embed_dim, name="k_proj")(k_in, **f)
-        v = self.linear_layer(self.embed_dim, name="v_proj")(seq, **f)
+        # REFERENCE SEMANTICS (bcosattnpool.py:40-59): the pooled path runs
+        # F.multi_head_attention_forward with in_proj_bias=None and
+        # out_proj_weight=self.c_proj.weight — i.e. every projection is
+        # WEIGHT-ONLY, and c_proj's B-cos dynamic scale is bypassed (only the
+        # unpool path calls the c_proj module). Replicated exactly here;
+        # asserted end-to-end in tests/test_e2e_clip_b2_oracle.py.
+        q = self.linear_layer(self.embed_dim, name="q_proj")(
+            q_in, weight_only=True, **f
+        )
+        k = self.linear_layer(self.embed_dim, name="k_proj")(
+            k_in, weight_only=True, **f
+        )
+        v = self.linear_layer(self.embed_dim, name="v_proj")(
+            seq, weight_only=True, **f
+        )
         out = _mha(q, k, v, self.num_heads)
         out = self.c_proj_layer(
             self.output_dim or self.embed_dim, name="c_proj"
-        )(out, **f)
+        )(out, weight_only=True, **f)
         return out[:, 0]

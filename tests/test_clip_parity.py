@@ -119,9 +119,16 @@ def test_bcosified_clip_student_b1_exact(rng):
     std = torch.tensor(CLIP_STD).view(1, 3, 1, 1)
     xt = (torch.from_numpy(x.transpose(0, 3, 1, 2)) - mean) / std
     with torch.no_grad():
-        # the bcosified attnpool drops the positional embedding, so compare
-        # against the torch visual with its pos emb zeroed
-        tmodel.visual.attnpool.positional_embedding.data.zero_()
+        # the bcosified attnpool drops the positional embedding AND runs all
+        # pooled projections weight-only (the reference's pooled forward
+        # passes in_proj_bias=None / out_proj_bias=None into
+        # F.multi_head_attention_forward, bcosattnpool.py:40-59) — zero both
+        # on the torch side so the trunk exactness oracle stays meaningful
+        ap = tmodel.visual.attnpool
+        ap.positional_embedding.data.zero_()
+        for lin in (ap.q_proj, ap.k_proj, ap.v_proj, ap.c_proj):
+            if lin.bias is not None:
+                lin.bias.data.zero_()
         want = tmodel.visual(xt).numpy()
     np.testing.assert_allclose(got, want, rtol=1e-2, atol=2e-3)
 
