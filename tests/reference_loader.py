@@ -53,8 +53,9 @@ def load_reference(name: str):
 
 def _stub_torchvision():
     """Minimal torchvision.transforms.Normalize so the reference's root
-    bcosify.py imports without torchvision (not installed here). Semantics are
-    exactly torchvision's: channelwise (x - mean) / std, differentiable."""
+    bcosify.py / bcosify_vit.py import without torchvision (not installed
+    here). Semantics are exactly torchvision's: channelwise (x - mean) / std,
+    differentiable."""
     if "torchvision" in sys.modules:
         return
     import torch
@@ -72,10 +73,13 @@ def _stub_torchvision():
 
     tv = types.ModuleType("torchvision")
     tvt = types.ModuleType("torchvision.transforms")
+    tvf = types.ModuleType("torchvision.transforms.functional")
     tvt.Normalize = Normalize
+    tvt.functional = tvf  # imported (unused) by bcosify_vit.py:8
     tv.transforms = tvt
     sys.modules["torchvision"] = tv
     sys.modules["torchvision.transforms"] = tvt
+    sys.modules["torchvision.transforms.functional"] = tvf
 
 
 def load_reference_bcosify():
@@ -116,5 +120,33 @@ def load_reference_bcosify():
     )
     mod = importlib.util.module_from_spec(spec)
     sys.modules["bcosify"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def load_reference_bcosify_vit():
+    """Import the reference's ROOT-level bcosify_vit.py (the ViT rewriter:
+    patch-embed channel doubling, Linear->BcosifyLinear except to_qkv,
+    GELU->MyGELU, LN->DetachableLayerNorm)."""
+    if "bcosify_vit" in sys.modules:
+        return sys.modules["bcosify_vit"]
+    _stub_packages()
+    _stub_torchvision()
+    mods = sys.modules["bcos.modules"]
+    if not hasattr(mods, "LogitLayer"):
+        mods.LogitLayer = load_reference("bcos.modules.logitlayer").LogitLayer
+    # `from bcos.modules import norms` + norms.DetachableLayerNorm /
+    # norms.DetachableGroupNorm2d (bcosify_vit.py:146-151)
+    norms_stub = sys.modules["bcos.modules.norms"]
+    if not hasattr(norms_stub, "DetachableLayerNorm"):
+        centered = load_reference("bcos.modules.norms.centered_norms")
+        norms_stub.DetachableLayerNorm = centered.DetachableLayerNorm
+        norms_stub.DetachableGroupNorm2d = centered.DetachableGroupNorm2d
+    mods.norms = norms_stub
+    spec = importlib.util.spec_from_file_location(
+        "bcosify_vit", REFERENCE / "bcosify_vit.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["bcosify_vit"] = mod
     spec.loader.exec_module(mod)
     return mod
