@@ -124,6 +124,46 @@ def load_reference_bcosify():
     return mod
 
 
+def load_reference_from_scratch_models():
+    """Import the reference's from-scratch model zoo (`bcos.models.resnet`
+    etc.), satisfying its `from bcos.modules import ...`, norms-namespace and
+    `torchvision.ops.StochasticDepth` imports from the reference tree."""
+    _stub_packages()
+    _stub_torchvision()
+    tv = sys.modules["torchvision"]
+    if "torchvision.ops" not in sys.modules:
+        ops_mod = types.ModuleType("torchvision.ops")
+        # the reference vendors exactly this implementation
+        ops_mod.StochasticDepth = load_reference(
+            "bcos.modules.stochastic_depth"
+        ).StochasticDepth
+        tv.ops = ops_mod
+        sys.modules["torchvision.ops"] = ops_mod
+    mods = sys.modules["bcos.modules"]
+    for attr, modname in [
+        ("BcosConv2d", "bcos.modules.bcosconv2d"),
+        ("BcosLinear", "bcos.modules.bcoslinear"),
+        ("LogitLayer", "bcos.modules.logitlayer"),
+    ]:
+        if not hasattr(mods, attr):
+            setattr(mods, attr, getattr(load_reference(modname), attr))
+    norms_stub = sys.modules["bcos.modules.norms"]
+    if not hasattr(norms_stub, "NoBias"):
+        for modname in (
+            "bcos.modules.norms.centered_norms",
+            "bcos.modules.norms.uncentered_norms.batchnorm_uncentered",
+            "bcos.modules.norms.uncentered_norms.allnorm_uncentered",
+            "bcos.modules.norms.uncentered_norms.groupnorm_uncentered",
+            "bcos.modules.norms.uncentered_norms.posnorm_uncentered",
+            "bcos.modules.norms.utils",
+        ):
+            m = load_reference(modname)
+            for a in getattr(m, "__all__", []):
+                setattr(norms_stub, a, getattr(m, a))
+    mods.norms = norms_stub
+    return load_reference("bcos.models.resnet")
+
+
 def load_reference_bcosify_vit():
     """Import the reference's ROOT-level bcosify_vit.py (the ViT rewriter:
     patch-embed channel doubling, Linear->BcosifyLinear except to_qkv,
