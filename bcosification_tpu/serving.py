@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 from jax import export as jax_export
 
-__all__ = ["export_forward", "export_explain", "load_serialized"]
+__all__ = ["export_forward", "export_explain", "export_text_explain", "load_serialized"]
 
 
 def _input_spec(input_size: int, channels: int, dtype) -> jax.ShapeDtypeStruct:
@@ -78,6 +78,45 @@ def export_explain(
     exp = jax_export.export(
         jax.jit(step), platforms=platforms
     )(_input_spec(input_size, channels, dtype))
+    return exp.serialize()
+
+
+def export_text_explain(
+    net,
+    variables,
+    *,
+    embed_dim: int,
+    input_size: int = 224,
+    channels: int = 6,
+    dtype=jnp.float32,
+    platforms: Optional[Tuple[str, ...]] = None,
+) -> bytes:
+    """Serialized StableHLO of the text-grounded explain step for a CLIP
+    image tower: (x [batch?, S, S, C], t [D]) -> (scores [batch?], W like x)
+    with score_b = f(x_b) . t in explanation mode (the text_localisation
+    workload). Routes through the hand-scheduled pass
+    (explain/fast_clip.py) when the tower qualifies."""
+    from bcosification_tpu.explain import fast_clip
+
+    use_fast = fast_clip.supports(net)
+
+    def step(x, t):
+        if use_fast:
+            return fast_clip.fast_text_dlw(net, variables, x, t)
+
+        def score(inp):
+            feats = net.apply(variables, inp, train=False, explain=True)
+            if feats.ndim == 3:
+                feats = feats.mean(axis=1)
+            return (feats @ t.astype(feats.dtype)).sum(), feats @ t.astype(feats.dtype)
+
+        (_, scores), w = jax.value_and_grad(score, has_aux=True)(x)
+        return scores, w
+
+    t_spec = jax.ShapeDtypeStruct((embed_dim,), dtype)
+    exp = jax_export.export(
+        jax.jit(step), platforms=platforms
+    )(_input_spec(input_size, channels, dtype), t_spec)
     return exp.serialize()
 
 
