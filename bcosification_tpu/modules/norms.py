@@ -143,13 +143,18 @@ class _RunningVarNorm(nn.Module):
             # f32 accumulators keep the cancellation error ~1e-7 relative for
             # activation-scale inputs (parity tests unchanged).
             axes = self._reduce_axes(x.ndim)
-            n_elems = 1
-            for a in axes:
-                n_elems *= x.shape[a]
-            s1 = jnp.sum(xs, axis=axes)
-            s2 = jnp.sum(jnp.square(xs), axis=axes)
-            mean = s1 / n_elems
-            var = jnp.maximum(s2 / n_elems - jnp.square(mean), 0.0)
+            import os
+
+            if os.getenv("BCOS_TWOPASS_VAR", "0") == "1":  # rollback/AB gate
+                var = jnp.var(xs, axis=axes)
+            else:
+                n_elems = 1
+                for a in axes:
+                    n_elems *= x.shape[a]
+                s1 = jnp.sum(xs, axis=axes)
+                s2 = jnp.sum(jnp.square(xs), axis=axes)
+                mean = s1 / n_elems
+                var = jnp.maximum(s2 / n_elems - jnp.square(mean), 0.0)
             if self.track_running_stats and not self.is_initializing():
                 running_var.value = (
                     1 - self.momentum
