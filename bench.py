@@ -83,7 +83,10 @@ def main():
 
     # warm up / compile both variants
     float(bench_n(variables, x, 2))
-    n_small, n_big = 2, 12
+    # window length matters: short windows drift up to ~20% on the tunnel
+    # even for the same executable (docs/PERF.md round 3) — 24 iterations
+    # ≈ 0.75 s keeps the slope estimate out of that regime
+    n_small, n_big = 2, 24
     float(bench_n(variables, x, n_big))
 
     def measure():
@@ -96,8 +99,8 @@ def main():
         # slope removes the fixed dispatch/transfer overhead
         return (t_big - t_small) / (n_big - n_small)
 
-    # best of two passes: one-off tunnel hiccups only ever inflate the time
-    per_iter = min(measure(), measure())
+    # best of three passes: one-off tunnel hiccups only ever inflate the time
+    per_iter = min(measure(), measure(), measure())
     img_per_s = BATCH / per_iter
     print(
         json.dumps(
