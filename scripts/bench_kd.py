@@ -88,9 +88,12 @@ def main():
         return acc + jax.tree_util.tree_leaves(params)[0].astype(jnp.float32).sum() * 1e-12
 
     carry = (svars["params"], svars.get("batch_stats", {}), opt_state)
+    print("compiling n=2 ...", flush=True)
     float(loop(carry, 2))
+    print("n=2 compiled", flush=True)
     n_small, n_big = 2, 12
     float(loop(carry, n_big))
+    print("n_big compiled", flush=True)
     best = None
     for _ in range(3):
         t0 = time.perf_counter(); float(loop(carry, n_small)); ts = time.perf_counter() - t0
