@@ -59,6 +59,9 @@ def test_kd_train_cli(fake_cc3m, tmp_path):
         CC3M_PATH=str(fake_cc3m),
         BCOS_EXPERIMENT_ROOT=str(tmp_path / "exp"),
         JAX_PLATFORMS="cpu",
+        # the axon sitecustomize overrides JAX_PLATFORMS; BCOS_PLATFORM is
+        # applied via jax.config in the CLI mains and actually sticks
+        BCOS_PLATFORM="cpu",
     )
     r = subprocess.run(
         [

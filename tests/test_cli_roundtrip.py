@@ -38,6 +38,9 @@ def test_train_then_evaluate_cli(fake_imagenet, tmp_path):
         IMAGENET_PATH=str(fake_imagenet),
         BCOS_EXPERIMENT_ROOT=str(tmp_path / "exp"),
         JAX_PLATFORMS="cpu",
+        # the axon sitecustomize overrides JAX_PLATFORMS; BCOS_PLATFORM is
+        # applied via jax.config in the CLI mains and actually sticks
+        BCOS_PLATFORM="cpu",
     )
     common = [
         "--dataset", "ImageNet", "--base_network", "bcosification",
