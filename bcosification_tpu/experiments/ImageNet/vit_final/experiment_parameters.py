@@ -19,6 +19,7 @@ from bcosification_tpu.experiments.utils.config_utils import (
 )
 from bcosification_tpu.losses import (
     BinaryCrossEntropyLoss,
+    CrossEntropyLoss,
     UniformOffLabelsBCEWithLogitsLoss,
 )
 from bcosification_tpu.modules import norms
@@ -106,9 +107,14 @@ baseline = {
                     act_layer="gelu",
                 ),
             ),
-            criterion=BinaryCrossEntropyLoss(),
-            test_criterion=BinaryCrossEntropyLoss(),
-            optimizer=OptimizerFactory("Adam", lr=DEFAULT_LR),
+            # plain (non-B-cos) baselines train with softmax CE + AdamW
+            # (wd 1e-4) + norm-clip 1.0 instead of AGC in the reference
+            # (vit_final/experiment_parameters.py:119-132)
+            criterion=CrossEntropyLoss(),
+            test_criterion=CrossEntropyLoss(),
+            optimizer=OptimizerFactory("AdamW", lr=DEFAULT_LR, weight_decay=0.0001),
+            use_agc=False,
+            trainer=dict(gradient_clip_val=1.0),
             lr_scheduler=DEFAULT_LR_SCHEDULE
             if not is_big_model(name)
             else LONG_WARM_SCHEDULE,

@@ -28,6 +28,7 @@ __all__ = [
     "binary_cross_entropy_with_logits",
     "cross_entropy",
     "BinaryCrossEntropyLoss",
+    "CrossEntropyLoss",
     "UniformOffLabelsBCEWithLogitsLoss",
     "InfoNCELoss",
     "info_nce",
@@ -111,6 +112,46 @@ class BinaryCrossEntropyLoss:
         if self.target_threshold is not None:
             target = (target > self.target_threshold).astype(x.dtype)
         return binary_cross_entropy_with_logits(x, target, reduction=self.reduction)
+
+    def __to_config__(self):
+        return dataclasses.asdict(self) | {"name": type(self).__name__}
+
+
+@dataclasses.dataclass(frozen=True)
+class CrossEntropyLoss:
+    """Softmax cross-entropy over the last axis, torch.nn.CrossEntropyLoss
+    semantics: integer class labels or class-probability targets, optional
+    label smoothing. The reference uses it for the plain (non-B-cos) ViT
+    baselines (`bcos/experiments/ImageNet/vit_final/experiment_parameters.py:
+    119-120`)."""
+
+    label_smoothing: float = 0.0
+    reduction: str = "mean"
+
+    def __call__(self, x, target):
+        assert x.shape[0] == target.shape[0]
+        num_classes = x.shape[-1]
+        logp = jax.nn.log_softmax(x, axis=-1)
+        if target.ndim == x.ndim:  # class-probability targets
+            probs = target.astype(x.dtype)
+            if self.label_smoothing > 0.0:
+                probs = (
+                    probs * (1 - self.label_smoothing)
+                    + self.label_smoothing / num_classes
+                )
+            loss = -(probs * logp).sum(axis=-1)
+        else:
+            nll = -jnp.take_along_axis(logp, target[..., None], axis=-1)[..., 0]
+            if self.label_smoothing > 0.0:
+                smooth = -logp.mean(axis=-1)
+                loss = (1 - self.label_smoothing) * nll + self.label_smoothing * smooth
+            else:
+                loss = nll
+        if self.reduction == "mean":
+            return jnp.mean(loss)
+        if self.reduction == "sum":
+            return jnp.sum(loss)
+        return loss
 
     def __to_config__(self):
         return dataclasses.asdict(self) | {"name": type(self).__name__}

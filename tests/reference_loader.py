@@ -82,6 +82,159 @@ def _stub_torchvision():
     sys.modules["torchvision.transforms.functional"] = tvf
 
 
+def _stub_torchvision_presets():
+    """Extend the torchvision stub far enough to import the reference's
+    `bcos/data/presets.py` (autoaugment classes, InterpolationMode,
+    `torchvision.utils.make_grid`, functional helpers). The transform objects
+    are inert records: CONFIGS construction only *instantiates* them, it never
+    applies them, so parity tests over config grids need no real torchvision."""
+    import enum
+
+    _stub_torchvision()
+    tv = sys.modules["torchvision"]
+    tvt = sys.modules["torchvision.transforms"]
+    tvf = sys.modules["torchvision.transforms.functional"]
+    if hasattr(tvt, "autoaugment"):
+        return
+
+    class InterpolationMode(str, enum.Enum):
+        NEAREST = "nearest"
+        BILINEAR = "bilinear"
+        BICUBIC = "bicubic"
+
+    tvf.InterpolationMode = InterpolationMode
+    tvf.get_dimensions = lambda img: list(img.shape[-3:])
+    tvf.normalize = lambda t, mean, std, inplace=False: tvt.Normalize(mean, std)(t)
+
+    def _record(name):
+        def __init__(self, *a, **k):
+            self.args, self.kwargs = a, k
+
+        def __call__(self, x, *a, **k):
+            return x
+
+        return type(name, (), {"__init__": __init__, "__call__": __call__})
+
+    class Compose:
+        def __init__(self, transforms):
+            self.transforms = list(transforms)
+
+        def __call__(self, x):
+            for t in self.transforms:
+                x = t(x)
+            return x
+
+    tvt.Compose = Compose
+    for n in [
+        "CenterCrop",
+        "ConvertImageDtype",
+        "PILToTensor",
+        "RandomCrop",
+        "RandomErasing",
+        "RandomHorizontalFlip",
+        "RandomResizedCrop",
+        "Resize",
+        "ToTensor",
+    ]:
+        setattr(tvt, n, _record(n))
+    tvt.transforms = tvt  # `transforms.transforms.X` spelling
+    sys.modules["torchvision.transforms.transforms"] = tvt
+
+    aug = types.ModuleType("torchvision.transforms.autoaugment")
+    for n in ["AugMix", "AutoAugment", "RandAugment", "TrivialAugmentWide"]:
+        setattr(aug, n, _record(n))
+
+    class AutoAugmentPolicy(str, enum.Enum):
+        IMAGENET = "imagenet"
+        CIFAR10 = "cifar10"
+        SVHN = "svhn"
+
+    aug.AutoAugmentPolicy = AutoAugmentPolicy
+    tvt.autoaugment = aug
+    sys.modules["torchvision.transforms.autoaugment"] = aug
+
+    tvu = types.ModuleType("torchvision.utils")
+    tvu.make_grid = lambda *a, **k: None
+    tv.utils = tvu
+    sys.modules["torchvision.utils"] = tvu
+
+
+def _stub_torchmetrics_and_lightning():
+    """`bcos.experiments.utils` drags in torchmetrics (metric_utils) and
+    pytorch_lightning (optimizer_factory) at import time; neither is installed.
+    Config-grid construction never calls into them, so any-attribute stubs
+    suffice."""
+
+    class _Anything:
+        def __init__(self, *a, **k):
+            pass
+
+    if "torchmetrics" not in sys.modules:
+        tm = types.ModuleType("torchmetrics")
+        tm.__getattr__ = lambda name: _Anything
+        sys.modules["torchmetrics"] = tm
+    if "pytorch_lightning" not in sys.modules:
+        pl = types.ModuleType("pytorch_lightning")
+        plc = types.ModuleType("pytorch_lightning.core")
+        plo = types.ModuleType("pytorch_lightning.core.optimizer")
+        plo.LightningOptimizer = _Anything
+        pl.core = plc
+        plc.optimizer = plo
+        sys.modules.update(
+            {
+                "pytorch_lightning": pl,
+                "pytorch_lightning.core": plc,
+                "pytorch_lightning.core.optimizer": plo,
+            }
+        )
+
+
+def load_reference_experiment_configs(dataset: str, base_network: str):
+    """Import the reference's `bcos.experiments.<dataset>.<base_network>.
+    experiment_parameters` and return its CONFIGS dict (the combinatorial
+    experiment grid, e.g. `ImageNet/bcosification/experiment_parameters.py:
+    82-135`). Used to assert the new framework reproduces the full config-name
+    grid and its headline hyperparameters."""
+    _stub_packages()
+    _stub_torchvision_presets()
+    _stub_torchmetrics_and_lightning()
+
+    # `from bcos.modules import norms / DetachableGNLayerNorm2d / ...` without
+    # running the real bcos.modules.__init__: populate the stub namespace.
+    mods = sys.modules["bcos.modules"]
+    norms_stub = sys.modules["bcos.modules.norms"]
+    if not hasattr(norms_stub, "NoBias"):
+        for modname in (
+            "bcos.modules.norms.centered_norms",
+            "bcos.modules.norms.uncentered_norms.batchnorm_uncentered",
+            "bcos.modules.norms.uncentered_norms.allnorm_uncentered",
+            "bcos.modules.norms.uncentered_norms.groupnorm_uncentered",
+            "bcos.modules.norms.uncentered_norms.posnorm_uncentered",
+            "bcos.modules.norms.utils",
+        ):
+            m = load_reference(modname)
+            for a in getattr(m, "__all__", []):
+                setattr(norms_stub, a, getattr(m, a))
+    mods.norms = norms_stub
+    if not hasattr(mods, "DetachableGNLayerNorm2d"):
+        centered = load_reference("bcos.modules.norms.centered_norms")
+        mods.DetachableGNLayerNorm2d = centered.DetachableGNLayerNorm2d
+        mods.DetachableModule = load_reference("bcos.modules.common").DetachableModule
+
+    # bcos.experiments as a path-only stub package: the real
+    # `bcos/experiments/utils/__init__.py` and the per-(dataset, base_network)
+    # experiment_parameters modules then import normally underneath it.
+    if "bcos.experiments" not in sys.modules:
+        exp = types.ModuleType("bcos.experiments")
+        exp.__path__ = [str(REFERENCE / "bcos" / "experiments")]
+        sys.modules["bcos.experiments"] = exp
+
+    mod = importlib.import_module(
+        f"bcos.experiments.{dataset}.{base_network}.experiment_parameters"
+    )
+    return mod.CONFIGS
+
+
 def load_reference_bcosify():
     """Import the reference's ROOT-level bcosify.py (the BcosifyNetwork module
     rewriter, `/root/reference/bcosify.py`) with its torchvision / CLIP / bcos

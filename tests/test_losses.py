@@ -38,6 +38,31 @@ def test_bce_vs_torch(rng, smoothing, sparse):
     np.testing.assert_allclose(float(my_loss), float(ref_loss), rtol=1e-5)
 
 
+@pytest.mark.parametrize("smoothing", [0.0, 0.1])
+@pytest.mark.parametrize("sparse", [True, False])
+def test_cross_entropy_loss_vs_torch(rng, smoothing, sparse):
+    """CrossEntropyLoss (the reference's plain-ViT baseline criterion,
+    vit_final/experiment_parameters.py:119-120) vs torch.nn.CrossEntropyLoss,
+    integer labels and class-probability targets, with label smoothing."""
+    import torch
+
+    x = rng.standard_normal((8, 10)).astype(np.float32)
+    if sparse:
+        t = rng.integers(0, 10, size=(8,))
+        tt = torch.from_numpy(t)
+        tj = jnp.asarray(t)
+    else:
+        t = rng.random((8, 10)).astype(np.float32)
+        t /= t.sum(axis=1, keepdims=True)
+        tt = torch.from_numpy(t)
+        tj = jnp.asarray(t)
+    ref_loss = torch.nn.CrossEntropyLoss(label_smoothing=smoothing)(
+        torch.from_numpy(x), tt
+    )
+    my_loss = L.CrossEntropyLoss(label_smoothing=smoothing)(jnp.asarray(x), tj)
+    np.testing.assert_allclose(float(my_loss), float(ref_loss), rtol=1e-5)
+
+
 @needs_reference
 def test_uniform_off_bce_vs_torch(rng):
     import torch
