@@ -169,9 +169,16 @@ def _stub_torchmetrics_and_lightning():
         def __init__(self, *a, **k):
             pass
 
+    def _module_getattr(name):
+        # dunder lookups (__file__, __spec__, ...) must fail normally or
+        # inspect/importlib machinery scanning sys.modules breaks
+        if name.startswith("__"):
+            raise AttributeError(name)
+        return _Anything
+
     if "torchmetrics" not in sys.modules:
         tm = types.ModuleType("torchmetrics")
-        tm.__getattr__ = lambda name: _Anything
+        tm.__getattr__ = _module_getattr
         sys.modules["torchmetrics"] = tm
     if "pytorch_lightning" not in sys.modules:
         pl = types.ModuleType("pytorch_lightning")
