@@ -61,18 +61,22 @@ class OptimizerFactory:
                 decay=args.pop("alpha", 0.9),
                 eps=args.pop("eps", 0.0316),
                 momentum=args.pop("momentum", 0.0),
+                # torch adds eps OUTSIDE the sqrt (optax defaults to inside)
+                eps_in_sqrt=False,
             )
         elif name == "adamw":
+            b1, b2 = args.pop("betas", (0.9, 0.999))
             tx = optax.adamw(
                 learning_rate,
-                b1=args.pop("betas", (0.9, 0.999))[0] if "betas" in args else 0.9,
-                b2=0.999,
+                b1=b1,
+                b2=b2,
                 eps=args.pop("eps", 1e-8),
                 weight_decay=wd,
             )
             wd = 0.0
         elif name == "adam":
-            tx = optax.adam(learning_rate, eps=args.pop("eps", 1e-8))
+            b1, b2 = args.pop("betas", (0.9, 0.999))
+            tx = optax.adam(learning_rate, b1=b1, b2=b2, eps=args.pop("eps", 1e-8))
         else:
             raise ValueError(name)
         if wd and name != "adamw":
