@@ -83,7 +83,9 @@ class LocalisationAnalyser(Analyser):
             with fp.open("rb") as f:
                 return pickle.load(f)
         fwd = jax.jit(lambda v, x: self.model.apply(v, x, train=False))
-        confidences: Dict[int, List] = {}
+        # dense over ALL class ids (reference localisation.py:150: the dict is
+        # prepopulated from NUM_CLASSES) — get_sorted_indices masks by class id
+        confidences: Optional[Dict[int, List]] = None
         bs = self.config["batch_size"]
         n = len(self.dataset)
         for start in range(0, n, bs):
@@ -91,14 +93,16 @@ class LocalisationAnalyser(Analyser):
             imgs = jnp.asarray(np.stack([np.asarray(b[0]) for b in batch]))
             tgts = np.asarray([int(b[1]) for b in batch])
             logits = np.asarray(fwd(self.variables, imgs))
+            if confidences is None:
+                confidences = {i: [] for i in range(logits.shape[-1])}
             pred = logits.argmax(-1)
             conf = logits.max(-1)
             for j in range(len(batch)):
                 if pred[j] != tgts[j]:
                     continue  # wrongly classified are not used
-                confidences.setdefault(int(tgts[j]), []).append(
-                    (start + j, float(conf[j]))
-                )
+                confidences[int(tgts[j])].append((start + j, float(conf[j])))
+        if confidences is None:
+            confidences = {}
         for k in confidences:
             confidences[k].sort(key=lambda t: t[1], reverse=True)
         self.save_folder.mkdir(parents=True, exist_ok=True)
@@ -108,31 +112,39 @@ class LocalisationAnalyser(Analyser):
 
     def get_sorted_indices(self, confidences) -> List[int]:
         """localisation.py:174-220: blocks of n_imgs distinct confident
-        classes, per-class confidence decreasing across blocks."""
+        classes, per-class confidence decreasing across blocks.
+
+        Draw-for-draw identical to the reference: legacy ``np.random``
+        MT19937 seeded with 42 (the reference's hard-coded
+        ``np.random.seed(42)``), classes in ascending-id order, and the
+        strict ``mask.sum() > n_imgs`` stopping rule — the sampled image set
+        (hence the published metric) depends on this exact sequence."""
         import math
 
-        rng = np.random.default_rng(self.config.get("seed", 42))
+        rng = np.random.RandomState(self.config.get("seed", 42))
         n = self.config["n_imgs"]
         thresh = self.config["conf_thresh"]
-        pointers = {k: 0 for k in confidences}
+        classes = np.array(sorted(int(k) for k in confidences))
+        pos = {c: i for i, c in enumerate(classes)}
+        pointers = {c: 0 for c in classes}
         idcs: List[int] = []
 
-        def sigmoid(v):
-            return 1.0 / (1.0 + math.exp(-v))
+        def conf_ok(c: int) -> bool:
+            v = confidences[c][pointers[c]][1]
+            return thresh is None or 1.0 / (1.0 + math.exp(-v)) > thresh
 
-        while True:
-            eligible = [
-                k
-                for k, v in confidences.items()
-                if pointers[k] < len(v)
-                and (thresh is None or sigmoid(v[pointers[k]][1]) > thresh)
-            ]
-            if len(eligible) < n:
-                break
-            chosen = rng.choice(eligible, size=n, replace=False)
-            for k in chosen:
-                idcs.append(confidences[k][pointers[k]][0])
-                pointers[k] += 1
+        mask = np.array(
+            [len(confidences[c]) > 0 and conf_ok(c) for c in classes], dtype=bool
+        )
+        while mask.sum() > n:
+            sample = rng.choice(classes[mask], size=n, replace=False)
+            for c in sample:
+                c = int(c)
+                idcs.append(confidences[c][pointers[c]][0])
+                pointers[c] += 1
+                mask[pos[c]] = (
+                    conf_ok(c) if pointers[c] < len(confidences[c]) else False
+                )
             if self.config["max_imgs"] and len(idcs) >= self.config["max_imgs"] * n:
                 break
         return idcs

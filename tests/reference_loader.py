@@ -350,3 +350,110 @@ def load_reference_bcosify_vit():
     sys.modules["bcosify_vit"] = mod
     spec.loader.exec_module(mod)
     return mod
+
+
+def _stub_captum():
+    """Minimal `captum.attr` so the reference's captum-gated explainer module
+    (`interpretability/explanation_methods/explainers/captum.py`) imports and
+    the "Ours" path (`bcos/common.py:311` -> IxG) runs. Only InputXGradient
+    is functional — captum semantics: attribution = input * d(output[:,
+    target])/d(input); the other five names are import-time placeholders.
+    The reference's CaptumDerivative hard-calls `.cuda()` (GPU-only
+    upstream); on CUDA-less hosts Tensor.cuda is made a no-op."""
+    if "captum" in sys.modules:
+        return
+    import torch
+
+    class InputXGradient:
+        def __init__(self, forward_func):
+            self.forward_func = forward_func
+
+        def attribute(self, inputs, target=None, **kwargs):
+            with torch.enable_grad():
+                inp = inputs.clone().detach().requires_grad_(True)
+                out = self.forward_func(inp)
+                t = torch.as_tensor(target).reshape(-1)
+                if t.numel() == 1:
+                    t = t.expand(out.shape[0])
+                sel = out.gather(1, t.view(-1, 1)).sum()
+                grad = torch.autograd.grad(sel, inp)[0]
+            return grad * inp
+
+    class _Unused:
+        def __init__(self, *a, **k):
+            raise NotImplementedError("captum stub: only InputXGradient works")
+
+    captum = types.ModuleType("captum")
+    attr = types.ModuleType("captum.attr")
+    attr.InputXGradient = InputXGradient
+    for nm in ("DeepLift", "GuidedBackprop", "IntegratedGradients",
+               "LayerGradCam", "Saliency"):
+        setattr(attr, nm, type(nm, (_Unused,), {}))
+    captum.attr = attr
+    sys.modules["captum"] = captum
+    sys.modules["captum.attr"] = attr
+
+    if not torch.cuda.is_available():
+        torch.Tensor.cuda = lambda self, *a, **k: self
+
+
+def load_reference_localisation():
+    """Import the reference's `interpretability.analyses.localisation`
+    (LocalisationAnalyser — the grid pointing game,
+    `/root/reference/interpretability/analyses/localisation.py`) with its
+    package chain satisfied from the reference tree. `bcos.experiments.utils`
+    is stubbed with `Experiment = object` (localisation only imports the name
+    for typing); captum is absent here, so the captum-gated "Ours" entry
+    (which itself needs no captum — it just returns the model,
+    `explainers/ours.py:9-14`) is registered into the explainer map."""
+    name = "interpretability.analyses.localisation"
+    if name in sys.modules:
+        return sys.modules[name]
+    _stub_packages()
+    _stub_captum()
+    import matplotlib
+
+    matplotlib.use("Agg")
+    for pkg, path in [
+        ("interpretability", REFERENCE / "interpretability"),
+        ("interpretability.analyses", REFERENCE / "interpretability" / "analyses"),
+        (
+            "interpretability.explanation_methods",
+            REFERENCE / "interpretability" / "explanation_methods",
+        ),
+    ]:
+        if pkg not in sys.modules:
+            mod = types.ModuleType(pkg)
+            mod.__path__ = [str(path)]
+            sys.modules[pkg] = mod
+    # the explainers package defines get_explainer/explainer_map in its
+    # __init__.py — execute the real file (a bare path stub has no attrs)
+    expl_name = "interpretability.explanation_methods.explainers"
+    if expl_name not in sys.modules:
+        expl_dir = REFERENCE / "interpretability" / "explanation_methods" / "explainers"
+        spec = importlib.util.spec_from_file_location(
+            expl_name,
+            expl_dir / "__init__.py",
+            submodule_search_locations=[str(expl_dir)],
+        )
+        expl = importlib.util.module_from_spec(spec)
+        sys.modules[expl_name] = expl
+        spec.loader.exec_module(expl)
+    if "bcos.experiments" not in sys.modules:
+        exp = types.ModuleType("bcos.experiments")
+        exp.__path__ = [str(REFERENCE / "bcos" / "experiments")]
+        sys.modules["bcos.experiments"] = exp
+    if "bcos.experiments.utils" not in sys.modules:
+        utils_stub = types.ModuleType("bcos.experiments.utils")
+        utils_stub.Experiment = object
+        sys.modules["bcos.experiments.utils"] = utils_stub
+    mod = importlib.import_module(name)
+    explainers = importlib.import_module(
+        "interpretability.explanation_methods.explainers"
+    )
+    if "Ours" not in explainers.explainer_map:
+        ours = importlib.import_module(
+            "interpretability.explanation_methods.explainers.ours"
+        )
+        explainers.explainer_map["Ours"] = ours.Ours
+    return mod

@@ -223,7 +223,7 @@ def _wrap_reference(tmodel, cfg):
     return ref_model.eval()
 
 
-def _make_pair(arch: str):
+def _make_pair(arch: str, mutate_fc=None):
     """Build (reference BcosifyNetwork, framework net+variables, shared input)
     for one architecture family.
 
@@ -232,6 +232,10 @@ def _make_pair(arch: str):
     alpha floor, which then dominates the render and makes the differential
     vacuous. Calibrate by scaling BN gammas (linear in the output) until the
     pre-bias logits carry real signal, like a trained model's.
+
+    mutate_fc(tmodel), if given, edits the pre-conversion torch model (e.g.
+    reshaping fc weights so predictions spread over many classes — the
+    localisation parity test needs a model that "classifies" diversely).
     """
     import bcosification_tpu.bcosify.engine as eng
 
@@ -246,6 +250,8 @@ def _make_pair(arch: str):
     probe = None
     for gamma_mult in (1.0, 4.0, 16.0, 64.0, 256.0):
         tmodel, rng = _fresh_torch_model(arch, gamma_mult)
+        if mutate_fc is not None:
+            mutate_fc(tmodel)
         # snapshot BEFORE conversion: add_channels mutates weights in place
         sd = {k: v.detach().clone() for k, v in tmodel.state_dict().items()}
         ref_model = _wrap_reference(tmodel, cfg)

@@ -62,9 +62,12 @@ def test_make_multi_image_layout():
 # only the input-weighted methods localise perfectly
 @pytest.mark.parametrize("explainer_name", ["Ours", "IxG", "IntGrad"])
 def test_gradient_explainers_localise(explainer_name, tmp_path):
-    model = CellSumModel()
+    # 5 classes > n_imgs=4: the sampler (reference localisation.py:212,
+    # `while mask.sum() > n_imgs`) only emits blocks while STRICTLY more
+    # than n_imgs classes remain eligible
+    model = CellSumModel(num_classes=5)
     variables = {"params": {}}
-    ds = OneHotChannelDataset(n=16)
+    ds = OneHotChannelDataset(n=30, num_classes=5)
     analyser = LocalisationAnalyser(
         model,
         variables,
@@ -90,9 +93,9 @@ def test_localisation_striding_mode(tmp_path):
     by the same number of crops, so the perfectly-localisable model still
     scores 1.0; the fold must also reproduce the full-image attribution map's
     cell structure."""
-    model = CellSumModel()
+    model = CellSumModel(num_classes=5)
     variables = {"params": {}}
-    ds = OneHotChannelDataset(n=16)
+    ds = OneHotChannelDataset(n=30, num_classes=5)
     analyser = LocalisationAnalyser(
         model,
         variables,
