@@ -44,38 +44,60 @@ def compute_attributions(
     text_embedding,
     image,  # [1, H, W, 6] AddInverse-encoded
     *,
-    pool_cosine_power: int = 0,
-    argmax_mask: bool = False,
-    max_norm: bool = False,
+    pool_cosine: int = 1,
+    norm_max_cosine: bool = False,
+    smooth: int = 0,
+    alpha_percentile: float = 99.5,
 ):
-    """One explanation-mode forward + backward for the text-grounded heatmap
-    (text_localisation.py:68-126). Returns dict with W(x), contribution map,
-    and colour explanation."""
+    """One explanation-mode forward + backward for the text-grounded heatmap.
+
+    Numerically exact port of the reference's ``compute_attributions``
+    (text_localisation.py:68-126), locked end-to-end by
+    tests/test_textloc_parity.py:
+
+    - features are cosine-normalised DIFFERENTIABLY (ref :77 has no detach).
+      Since the explain-mode tower is dynamic-linear in x, the cosine score
+      is 0-homogeneous — so input×gradient contributions sum to ~0 (a pure
+      contrast map), unlike the raw-dot path whose contributions sum to the
+      score.
+    - attn-unpool pooling (ref :80-95, flags only apply to unpool feats):
+      ``pool_cosine == 0`` argmax-masks the per-location cosines (then the
+      final max rides the mask); ``norm_max_cosine`` divides by the detached
+      max |cosine| over locations; ``pool_cosine > 1`` multiplies by the
+      detached |cosine|^(p-1); then MEAN over locations (ref :95 — not sum).
+    - ``smooth``/``alpha_percentile`` feed the render's alpha channel
+      (identical to gradient_to_image; ref :108-119), and the returned
+      clipped contribution map / vrange follow ref :121-124.
+    """
+    if pool_cosine == 0 and norm_max_cosine:
+        # ref :85-92: the argmax path reshapes to (1, HW), whose dim-0 abs-max
+        # is the row itself — dividing yields 0/0 on every masked entry
+        raise ValueError("pool_cosine=0 with norm_max_cosine yields NaN "
+                         "(reference semantics); use one or the other")
 
     def head_fn(feats):
         """feats -> scalar score (the pooling head of text_localisation.py:
-        80-95); all pooling weights are stop-gradded, so the backward through
-        it is linear in feats."""
-        if feats.ndim == 3:  # attn-unpool [B, HW, D]
+        73-100). The cosine normalisation is differentiable; the pooling
+        weights (argmax mask / max-norm / power) are stop-gradded."""
+        feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+        if feats.ndim == 3:  # attn-unpool [B, HW, D], per-location cosine
             logits = feats @ text_embedding  # [B, HW]
-            if max_norm:
+            if pool_cosine == 0:
+                best = jnp.argmax(logits, axis=-1)
+                mask = jax.nn.one_hot(best, logits.shape[-1], dtype=logits.dtype)
+                logits = logits * jax.lax.stop_gradient(mask)
+                # ref :95,100: mean over the (1, HW) row is the identity and
+                # the final max rides over the masked locations
+                return jnp.max(logits, axis=-1).sum()
+            if norm_max_cosine:
                 logits = logits / jax.lax.stop_gradient(
                     jnp.max(jnp.abs(logits), axis=-1, keepdims=True)
                 )
-            if pool_cosine_power > 0:
-                w = jax.lax.stop_gradient(
-                    jnp.abs(logits) ** (pool_cosine_power - 1)
+            if pool_cosine > 1:
+                logits = logits * jax.lax.stop_gradient(
+                    jnp.abs(logits) ** (pool_cosine - 1)
                 )
-                logits = logits * w
-            if argmax_mask:
-                best = jnp.argmax(logits, axis=-1)
-                mask = jax.nn.one_hot(best, logits.shape[-1], dtype=logits.dtype)
-                mask = jax.lax.stop_gradient(mask)
-                logits = logits * mask
-            return logits.sum()
-        feats = feats / jax.lax.stop_gradient(
-            jnp.linalg.norm(feats, axis=-1, keepdims=True)
-        )
+            return logits.mean(axis=-1).sum()
         return (feats @ text_embedding).sum()
 
     from bcosification_tpu.explain import fast_clip
@@ -91,18 +113,25 @@ def compute_attributions(
             lambda x: head_fn(student.apply(student_vars, x, train=False, explain=True))
         )(image)
     contribs = (image * grad).sum(-1)[0]
-    explanation = gradient_to_image(image[0], grad[0])
+    explanation = gradient_to_image(
+        image[0], grad[0], smooth=smooth, alpha_percentile=alpha_percentile
+    )
+    # ref :122-124: symmetric percentile clip for the raw-attribution plot
+    cutoff = jnp.percentile(jnp.abs(contribs), 99.5)
+    clipped = jnp.clip(contribs, -cutoff, cutoff)
     return {
         "score": float(score),
         "dynamic_linear_weights": grad,
         "contribution_map": contribs,
+        "contribution_map_clipped": clipped,
+        "vrange": float(jnp.max(jnp.abs(clipped))),
         "explanation": explanation,
     }
 
 
 class TextLocalisationAnalyser(Analyser):
     default_config = dict(
-        pool_cosine_power=0, argmax_mask=False, max_norm=False,
+        pool_cosine=1, norm_max_cosine=False, smooth=0, alpha_percentile=99.5,
         templates=DEFAULT_TEMPLATES,
     )
 
@@ -122,9 +151,10 @@ class TextLocalisationAnalyser(Analyser):
             self.student_vars,
             emb,
             image,
-            pool_cosine_power=self.config["pool_cosine_power"],
-            argmax_mask=self.config["argmax_mask"],
-            max_norm=self.config["max_norm"],
+            pool_cosine=self.config["pool_cosine"],
+            norm_max_cosine=self.config["norm_max_cosine"],
+            smooth=self.config["smooth"],
+            alpha_percentile=self.config["alpha_percentile"],
         )
 
     def analysis(self):
@@ -254,8 +284,9 @@ def main(config=None):
     analyser = TextLocalisationAnalyser(
         student, student_vars, text_model, text_vars,
         templates=imagenet_templates,
-        pool_cosine_power=(config.pool_cosine if config.use_attn_unpool else 0),
-        max_norm=config.norm_max_cosine,
+        pool_cosine=config.pool_cosine,
+        norm_max_cosine=config.norm_max_cosine,
+        smooth=config.smooth,
     )
     save_root = config.save_path or str(getattr(experiment, "save_dir", "."))
     out_dir = os.path.join(
@@ -266,20 +297,18 @@ def main(config=None):
     results = {}
     for phrase in phrases:
         res = analyser.localise(image, phrase)
-        cm = np.asarray(res["contribution_map"])
-        expl = np.asarray(res["explanation"])
-        if config.smooth:
-            from bcosification_tpu.ops.pooling import avg_pool2d
-
-            cm = np.asarray(
-                avg_pool2d(jnp.asarray(cm)[None, ..., None], config.smooth, 1,
-                           (config.smooth - 1) // 2)
-            )[0, ..., 0]
+        # --smooth feeds the render's alpha channel inside the analyser
+        # (ref :114-115); the raw-attribution map is percentile-clipped,
+        # never smoothed (ref :121-124)
         np.savez(
             os.path.join(out_dir, f"Text_{phrase.replace(' ', '_')}.npz"),
-            contribution_map=cm, explanation=expl,
+            contribution_map=np.asarray(res["contribution_map_clipped"]),
+            contribution_map_raw=np.asarray(res["contribution_map"]),
+            vrange=np.asarray(res["vrange"]),
+            explanation=np.asarray(res["explanation"]),
             score=np.asarray(res.get("score", np.nan)),
         )
+        expl = np.asarray(res["explanation"])
         try:
             from PIL import Image as PILImage
 

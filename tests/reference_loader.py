@@ -457,3 +457,50 @@ def load_reference_localisation():
         )
         explainers.explainer_map["Ours"] = ours.Ours
     return mod
+
+
+def load_reference_text_localisation():
+    """Import the reference's `interpretability.analyses.text_localisation`
+    (`/root/reference/interpretability/analyses/text_localisation.py`) for its
+    `compute_attributions` oracle (:68-126). Module-level imports satisfied
+    from the reference tree (`bcos.common`, `bcos.data.transforms`,
+    `bcos.data.imagenet`) or stubs: `clip` is a bare placeholder (the oracle
+    function never touches it — tokenize_text/get_clip_model do, and they are
+    not under test), `bcos.experiments.utils.Experiment = object`, and the
+    torchvision presets stub supplies transforms/functional/make_grid."""
+    name = "interpretability.analyses.text_localisation"
+    if name in sys.modules:
+        return sys.modules[name]
+    _stub_packages()
+    _stub_torchvision_presets()
+    import matplotlib
+
+    matplotlib.use("Agg")
+    if "clip" not in sys.modules:
+        clip_stub = types.ModuleType("clip")
+
+        def _unavailable(*a, **k):
+            raise NotImplementedError(
+                "clip stub: only compute_attributions is under test"
+            )
+
+        clip_stub.load = _unavailable
+        clip_stub.tokenize = _unavailable
+        sys.modules["clip"] = clip_stub
+    for pkg, path in [
+        ("interpretability", REFERENCE / "interpretability"),
+        ("interpretability.analyses", REFERENCE / "interpretability" / "analyses"),
+    ]:
+        if pkg not in sys.modules:
+            mod = types.ModuleType(pkg)
+            mod.__path__ = [str(path)]
+            sys.modules[pkg] = mod
+    if "bcos.experiments" not in sys.modules:
+        exp = types.ModuleType("bcos.experiments")
+        exp.__path__ = [str(REFERENCE / "bcos" / "experiments")]
+        sys.modules["bcos.experiments"] = exp
+    if "bcos.experiments.utils" not in sys.modules:
+        utils_stub = types.ModuleType("bcos.experiments.utils")
+        utils_stub.Experiment = object
+        sys.modules["bcos.experiments.utils"] = utils_stub
+    return importlib.import_module(name)

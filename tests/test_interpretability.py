@@ -185,10 +185,14 @@ def test_text_localisation_shapes(rng):
     res = compute_attributions(model, variables, emb, img)
     assert res["contribution_map"].shape == (16, 16)
     assert res["explanation"].shape == (16, 16, 4)
-    # completeness: contributions sum to the score (bias-free dynamic-linear)
-    np.testing.assert_allclose(
-        float(res["contribution_map"].sum()), res["score"], rtol=1e-4
-    )
+    # the cosine normalisation is differentiable (ref text_localisation.py:77)
+    # and the explain-mode tower is dynamic-linear in x, so the score is
+    # 0-homogeneous: input x gradient contributions sum to ~0 (Euler), and
+    # x . grad score directly vanishes relative to the gradient's own scale
+    wx = float(res["contribution_map"].sum())
+    scale = float(np.abs(res["contribution_map"]).sum()) + 1e-12
+    assert abs(wx) / scale < 1e-4, (wx, scale)
+    assert np.isfinite(res["vrange"])
 
 
 class _ReluMLP(nn.Module):
