@@ -38,7 +38,7 @@ from bcosification_tpu.explain.fast_resnet import (
 from bcosification_tpu.ops import bcos as ops
 from bcosification_tpu.ops import pooling
 
-__all__ = ["supports", "fast_encode_and_vjp", "fast_text_dlw"]
+__all__ = ["supports", "fast_encode_and_vjp", "fast_text_dlw", "text_score_head"]
 
 
 def supports(net) -> bool:
@@ -290,18 +290,27 @@ def fast_encode_and_vjp(
     return feats, vjp_fn
 
 
+def text_score_head(feats: jax.Array, t: jax.Array) -> jax.Array:
+    """Per-sample text-grounded score, reference default semantics
+    (text_localisation.py:77-100, pool_cosine=1): cosine-normalise the
+    features DIFFERENTIABLY (the reference has no detach there — the
+    explain-mode backward flows through the norm), per location for
+    attn-unpool feats, then mean the per-location cosines."""
+    td = t.astype(feats.dtype)
+    feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+    if feats.ndim == 3:  # [B, HW, D] attn-unpool
+        return (feats @ td).mean(axis=-1)
+    return feats @ td
+
+
 def fast_text_dlw(
     net, variables: Dict[str, Any], x: jax.Array, t: jax.Array
 ) -> Tuple[jax.Array, jax.Array]:
-    """(scores, W) for the text-grounded workload: score_b = feats_b . t
-    (attn_unpool features are mean-pooled over locations first, matching
-    text_localisation's pool path). W = d score / d x."""
+    """(scores, W) for the text-grounded workload via the hand-scheduled
+    trunk backward; scores_b = text_score_head(f(x_b), t), W = d score / d x
+    (batch rows are independent, so one VJP with a ones cotangent yields the
+    per-sample W stack)."""
     feats, vjp_fn = fast_encode_and_vjp(net, variables, x)
-    td = t.astype(feats.dtype)
-    if feats.ndim == 3:  # [B, HW, D] attn-unpool
-        scores = (feats.mean(axis=1) @ td)
-        ct = jnp.broadcast_to(td[None, None, :], feats.shape) / feats.shape[1]
-    else:
-        scores = feats @ td
-        ct = jnp.broadcast_to(td[None, :], feats.shape)
+    scores, head_vjp = jax.vjp(lambda f: text_score_head(f, t), feats)
+    (ct,) = head_vjp(jnp.ones_like(scores))
     return scores, vjp_fn(ct)

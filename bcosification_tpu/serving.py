@@ -93,9 +93,10 @@ def export_text_explain(
 ) -> bytes:
     """Serialized StableHLO of the text-grounded explain step for a CLIP
     image tower: (x [batch?, S, S, C], t [D]) -> (scores [batch?], W like x)
-    with score_b = f(x_b) . t in explanation mode (the text_localisation
-    workload). Routes through the hand-scheduled pass
-    (explain/fast_clip.py) when the tower qualifies."""
+    with score_b the reference's cosine score (text_localisation.py:77-100,
+    pool_cosine=1; see explain/fast_clip.text_score_head) in explanation
+    mode. Routes through the hand-scheduled pass (explain/fast_clip.py) when
+    the tower qualifies."""
     from bcosification_tpu.explain import fast_clip
 
     use_fast = fast_clip.supports(net)
@@ -106,9 +107,8 @@ def export_text_explain(
 
         def score(inp):
             feats = net.apply(variables, inp, train=False, explain=True)
-            if feats.ndim == 3:
-                feats = feats.mean(axis=1)
-            return (feats @ t.astype(feats.dtype)).sum(), feats @ t.astype(feats.dtype)
+            scores = fast_clip.text_score_head(feats, t)
+            return scores.sum(), scores
 
         (_, scores), w = jax.value_and_grad(score, has_aux=True)(x)
         return scores, w

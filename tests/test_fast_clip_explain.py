@@ -88,9 +88,12 @@ def test_W_matches_autodiff(clip_setup, rng):
     t = t / jnp.linalg.norm(t)
 
     def score(inp):
+        # the reference text-grounded head (text_localisation.py:77-100):
+        # differentiable per-location cosine, mean over locations
         feats = net.apply(variables, inp, train=False, explain=True)
+        feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
         if feats.ndim == 3:
-            feats = feats.mean(axis=1)
+            return (feats @ t).mean(axis=-1).sum()
         return (feats @ t).sum()
 
     s_ref, w_ref = jax.value_and_grad(score)(x)
