@@ -16,12 +16,24 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = [
+    "format_template",
     "zeroshot_classifier",
     "zeroshot_predict_logits",
     "zeroshot_evaluate",
     "save_zeroshot_weights",
     "load_zeroshot_weights",
 ]
+
+
+def format_template(template: str, classname: str) -> str:
+    """Specialise a prompt template for a class, supporting both upstream
+    conventions: CLIP_benchmark templates use the named ``{c}`` placeholder
+    (reference zeroshot_classification.py:48, and the webdataset
+    `zeroshot_classification_templates.txt` files), the bcos/OpenAI ImageNet
+    templates use bare ``{}``."""
+    if "{c}" in template:
+        return template.format(c=classname)
+    return template.format(classname)
 
 
 def save_zeroshot_weights(path: str, weights) -> None:
@@ -66,7 +78,7 @@ def zeroshot_classifier(
     weights = []
     for start in range(0, len(classnames), batch_classes):
         chunk = classnames[start : start + batch_classes]
-        texts = [t.format(c) for c in chunk for t in templates]
+        texts = [format_template(t, c) for c in chunk for t in templates]
         tokens = jnp.asarray(tokenize(texts))
         emb = encode(text_variables, tokens)  # [n_chunk * n_templ, D]
         emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)

@@ -20,23 +20,29 @@ __all__ = ["zero_shot_classifier", "run_classification", "evaluate", "average_pr
 
 
 def zero_shot_classifier(model_bundle, classnames, templates, batch_classes: int = 16):
-    """Build [D, C] zeroshot weights with the model's text tower (or the
-    vanilla CLIP RN50 fallback for B-cos image-only models,
-    zeroshot_classification.py:54-58). External torch-backed bundles
-    (ja_clip/nllb_clip/open_clip) have no JAX text model; their
-    encode_texts does the prompt-ensembling in numpy."""
-    text_model, text_vars = model_bundle.text_model, model_bundle.text_vars
-    if text_model is None:
-        weights = []
-        for c in classnames:
-            emb = np.asarray(model_bundle.encode_texts([t.format(c) for t in templates]))
-            emb = emb / np.linalg.norm(emb, axis=-1, keepdims=True)
-            emb = emb.mean(axis=0)
-            weights.append(emb / np.linalg.norm(emb))
-        return jnp.asarray(np.stack(weights, axis=1))  # [D, C]
-    from bcosification_tpu.training.zeroshot import zeroshot_classifier as zs
+    """Build [D, C] zeroshot weights: per class, embed its prompts, normalise,
+    mean, normalise (reference zeroshot_classification.py:15-63). Template
+    handling is reference-exact: a dict maps classname -> class-specific
+    prompt list (CuPL), a list holds generic templates specialised per class
+    (named ``{c}`` or bare ``{}`` placeholders, see
+    training.zeroshot.format_template). Routed through
+    ``model_bundle.encode_texts`` so JAX text towers and external
+    torch-backed bundles (ja_clip/nllb_clip/open_clip) share the path."""
+    from bcosification_tpu.training.zeroshot import format_template
 
-    return zs(text_model, text_vars, classnames, templates, batch_classes)
+    weights = []
+    for c in classnames:
+        if isinstance(templates, dict):
+            texts = list(templates[c])
+        elif isinstance(templates, (list, tuple)):
+            texts = [format_template(t, c) for t in templates]
+        else:
+            raise ValueError("templates must be a list or a dict")
+        emb = np.asarray(model_bundle.encode_texts(texts))
+        emb = emb / np.linalg.norm(emb, axis=-1, keepdims=True)
+        emb = emb.mean(axis=0)
+        weights.append(emb / np.linalg.norm(emb))
+    return jnp.asarray(np.stack(weights, axis=1))  # [D, C]
 
 
 def run_classification(model_bundle, classifier, loader, cosine_power: int = 0):
@@ -106,9 +112,10 @@ def evaluate(
     load_clfs: Sequence[str] = (),
 ) -> Dict[str, float]:
     if load_clfs:
+        # reference :215-219: plain mean of the loaded classifiers, NOT
+        # renormalised per class column
         clfs = [np.load(p) for p in load_clfs]
         classifier = jnp.asarray(np.mean(clfs, axis=0))
-        classifier = classifier / jnp.linalg.norm(classifier, axis=0, keepdims=True)
     else:
         classifier = zero_shot_classifier(model_bundle, classnames, templates)
     if save_clf is not None:
@@ -119,7 +126,12 @@ def evaluate(
     if target.ndim == 2:  # multilabel
         ap = average_precision(logits, target)
         return {"mean_average_precision": float(ap.mean())}
-    acc1, acc5 = accuracy(logits, target, topk=(1, 5))
+    if len(classnames) >= 5:
+        acc1, acc5 = accuracy(logits, target, topk=(1, 5))
+    else:
+        # reference :245-248: top-5 is meaningless with < 5 classes
+        (acc1,) = accuracy(logits, target, topk=(1,))
+        acc5 = float("nan")
     return {
         "acc1": acc1,
         "acc5": acc5,

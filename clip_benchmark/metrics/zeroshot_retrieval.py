@@ -45,10 +45,13 @@ def evaluate(model_bundle, loader, recall_k_list: Sequence[int] = (5,)) -> Dict[
 
     metrics: Dict[str, float] = {}
     for k in recall_k_list:
-        # text->image: does any of the top-k images match the caption's image
+        # naming follows the reference (zeroshot_retrieval.py:85-87): the key
+        # says what is RETRIEVED — image_retrieval = top-k images per caption,
+        # text_retrieval = top-k captions per image — locked by
+        # tests/test_clip_benchmark_parity.py (the symmetric-fixture exact
+        # test cannot distinguish the directions)
         topk_img = np.argsort(-scores, axis=1)[:, :k]
         t2i = float((topk_img == img_of_caption_arr[:, None]).any(axis=1).mean())
-        # image->text: does any of the top-k captions belong to the image
         topk_txt = np.argsort(-scores.T, axis=1)[:, :k]
         i2t = float(
             np.mean(
@@ -58,6 +61,6 @@ def evaluate(model_bundle, loader, recall_k_list: Sequence[int] = (5,)) -> Dict[
                 ]
             )
         )
-        metrics[f"text_retrieval_recall@{k}"] = t2i
-        metrics[f"image_retrieval_recall@{k}"] = i2t
+        metrics[f"image_retrieval_recall@{k}"] = t2i
+        metrics[f"text_retrieval_recall@{k}"] = i2t
     return metrics

@@ -504,3 +504,22 @@ def load_reference_text_localisation():
         utils_stub.Experiment = object
         sys.modules["bcos.experiments.utils"] = utils_stub
     return importlib.import_module(name)
+
+
+def load_reference_clip_benchmark_metric(stem: str):
+    """Standalone import of the reference's
+    `/root/reference/CLIP_benchmark/clip_benchmark/metrics/<stem>.py` under
+    the alias ``ref_cb_<stem>`` (our vendored package owns the
+    ``clip_benchmark`` name). The retrieval/classification/selection metric
+    modules only import torch / tqdm / sklearn, all present here."""
+    name = f"ref_cb_{stem}"
+    if name in sys.modules:
+        return sys.modules[name]
+    spec = importlib.util.spec_from_file_location(
+        name,
+        REFERENCE / "CLIP_benchmark" / "clip_benchmark" / "metrics" / f"{stem}.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
