@@ -94,7 +94,13 @@ def zeroshot_predict_logits(
     cos_power: int = 0,
 ) -> jnp.ndarray:
     """logits = 100 * x_hat @ W; attn-unpool spatial features [B, HW, D] are
-    cosine-power weighted and summed over locations (trainer.py:112-121)."""
+    cosine-power weighted and summed over locations (trainer.py:112-121).
+
+    The reference's two unpool codepaths disagree here: its trainer SUMS
+    over locations (trainer.py:121) while its CLIP_benchmark
+    run_classification MEANS them (zeroshot_classification.py:131-132).
+    The two differ by the constant factor HW, so argmax/accuracy/recall are
+    identical; we follow the trainer's sum everywhere."""
     feats = image_features / jnp.linalg.norm(image_features, axis=-1, keepdims=True)
     logits = 100.0 * feats @ zeroshot_weights
     if logits.ndim == 3:  # [B, HW, C] attn-unpool

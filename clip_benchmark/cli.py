@@ -228,8 +228,39 @@ def run(args):
         )
     elif task == "linear_probe":
         train_split = args.train_split if isinstance(args.train_split, str) else args.train_split[0]
-        _, train_loader = make_loader(train_split)
+        train_ds, train_loader = make_loader(train_split)
         _, test_loader = make_loader(args.split)
+        # reference cli.py:350-375: explicit val split, or a seeded carve of
+        # val_proportion from the train set (ref uses torch random_split)
+        val_loader = None
+        if args.val_split is not None:
+            vs = args.val_split if isinstance(args.val_split, str) else args.val_split[0]
+            _, val_loader = make_loader(vs)
+        elif args.val_proportion is not None:
+            import numpy as np
+
+            vp = args.val_proportion if isinstance(args.val_proportion, float) else args.val_proportion[0]
+            from bcosification_tpu.data.loader import DataLoader as _DL
+
+            n = len(train_ds)
+            perm = np.random.default_rng(args.seed).permutation(n)
+            n_val = max(int(round(n * vp)), 1)
+
+            class _Subset:
+                def __init__(self, ds, idx):
+                    self.ds, self.idx = ds, idx
+
+                def __len__(self):
+                    return len(self.idx)
+
+                def __getitem__(self, i):
+                    return self.ds[int(self.idx[i])]
+
+            collate = get_dataset_collate_fn(dataset_name)
+            train_loader = _DL(_Subset(train_ds, perm[n_val:]), args.batch_size,
+                               num_workers=args.num_workers, collate_fn=collate)
+            val_loader = _DL(_Subset(train_ds, perm[:n_val]), args.batch_size,
+                             num_workers=args.num_workers, collate_fn=collate)
         from clip_benchmark.metrics import linear_probe as m
 
         metrics = m.evaluate(
@@ -239,7 +270,8 @@ def run(args):
             feature_root=args.feature_root,
             model_id=f"{args.model_type}_{args.model}".replace("/", "_"),
             dataset_name=dataset_name.replace("/", "_"),
-            seed=args.seed,
+            seed=args.seed, val_loader=val_loader,
+            normalize=bool(args.normalize), verbose=args.verbose,
         )
     elif task == "zeroshot_retrieval":
         _, loader = make_loader(args.split)

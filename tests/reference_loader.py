@@ -515,9 +515,20 @@ def load_reference_clip_benchmark_metric(stem: str):
     name = f"ref_cb_{stem}"
     if name in sys.modules:
         return sys.modules[name]
+    metrics_dir = REFERENCE / "CLIP_benchmark" / "clip_benchmark" / "metrics"
+    if stem == "linear_probe":
+        # linear_probe does `from .zeroshot_classification import accuracy` —
+        # give it a package context rooted at the reference metrics dir
+        pkg_name = "ref_cb_metrics"
+        if pkg_name not in sys.modules:
+            pkg = types.ModuleType(pkg_name)
+            pkg.__path__ = [str(metrics_dir)]
+            sys.modules[pkg_name] = pkg
+        mod = importlib.import_module(f"{pkg_name}.{stem}")
+        sys.modules[name] = mod
+        return mod
     spec = importlib.util.spec_from_file_location(
-        name,
-        REFERENCE / "CLIP_benchmark" / "clip_benchmark" / "metrics" / f"{stem}.py",
+        name, metrics_dir / f"{stem}.py"
     )
     mod = importlib.util.module_from_spec(spec)
     sys.modules[name] = mod
