@@ -73,10 +73,14 @@ def caption_loss(model, variables, features, tokens):
     targets = tokens[:, 1:]
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
-    mask = (targets != model.eos).astype(nll.dtype)
+    not_eos = (targets != model.eos).astype(nll.dtype)
+    # keep position t iff no EOS appears among targets[:, :t]: the first EOS
+    # is still a target, and EVERYTHING after it is ignored regardless of the
+    # padding scheme (repeated-EOS or the CLIP tokenizer's zero-padding)
     mask = jnp.concatenate(
-        [jnp.ones_like(mask[:, :1]), mask[:, :-1]], axis=1
-    )  # include the first EOS position as a target, ignore padding after it
+        [jnp.ones_like(not_eos[:, :1]), jnp.cumprod(not_eos[:, :-1], axis=1)],
+        axis=1,
+    )
     return (nll * mask).sum() / jnp.maximum(mask.sum(), 1.0)
 
 

@@ -99,7 +99,9 @@ def train_linear_head(
     the reference's zero-warmup cosine schedule over epochs*len(loader)
     steps (linear_probe.py:68-116)."""
     n, d = x.shape
-    steps_per_epoch = max(n // batch_size, 1)
+    # ceil like the reference's DataLoader (drop_last=False): the trailing
+    # partial minibatch trains too and counts toward the schedule length
+    steps_per_epoch = max(-(-n // batch_size), 1)
     total = epochs * steps_per_epoch
 
     def schedule(count):
@@ -229,8 +231,9 @@ def evaluate(
     x_val = y_val = None
     if val_loader is not None:
         x_val, y_val = featurize(model_bundle, val_loader, cache + "_val", normalize)
-    # reference :266: output dim from the FULL pre-fewshot train targets
-    num_classes = int(max(y_train.max(), y_test.max())) + 1
+    # reference :266: output dim from the FULL pre-fewshot TRAIN targets only
+    # (a test-only higher class id is never predictable, exactly as there)
+    num_classes = int(y_train.max()) + 1
 
     if fewshot_k > 0:
         # reference :227-244: one permutation over all samples, first k per

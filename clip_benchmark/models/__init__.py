@@ -47,6 +47,12 @@ class ModelBundle:
     # encode_image eagerly (it returns numpy, not traced arrays)
     encode_texts_fn: Optional[Callable] = None
     jittable: bool = True
+    # lazily-built shared jit of the text tower: zeroshot classifier building
+    # calls encode_texts once PER CLASS, so a fresh jax.jit per call would
+    # re-trace and re-compile the text transformer ~1000x on ImageNet
+    _text_encode_jit: Optional[Callable] = dataclasses.field(
+        default=None, repr=False, compare=False
+    )
 
     def encode_texts(self, texts: List[str], batch: int = 256) -> np.ndarray:
         outs = []
@@ -54,10 +60,13 @@ class ModelBundle:
             for i in range(0, len(texts), batch):
                 outs.append(np.asarray(self.encode_texts_fn(texts[i : i + batch])))
             return np.concatenate(outs)
-        encode = jax.jit(lambda v, t: self.text_model.apply(v, t))
+        if self._text_encode_jit is None:
+            self._text_encode_jit = jax.jit(
+                lambda v, t: self.text_model.apply(v, t)
+            )
         for i in range(0, len(texts), batch):
             tokens = jnp.asarray(self.tokenizer(texts[i : i + batch]))
-            outs.append(np.asarray(encode(self.text_vars, tokens)))
+            outs.append(np.asarray(self._text_encode_jit(self.text_vars, tokens)))
         return np.concatenate(outs)
 
 

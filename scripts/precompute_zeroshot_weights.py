@@ -29,6 +29,10 @@ def main(argv=None):
     ap.add_argument("--batch-classes", type=int, default=32)
     args = ap.parse_args(argv)
 
+    from bcosification_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()  # honor BCOS_PLATFORM before the text tower runs
+
     from bcosification_tpu import settings
     from bcosification_tpu.clip import load as clip_load
     from bcosification_tpu.data.imagenet import imagenet_classes, imagenet_templates

@@ -55,6 +55,23 @@ def trained():
     return model, {"params": params}, feats, seqs
 
 
+def test_caption_loss_ignores_any_padding_after_eos():
+    """The loss mask must cut at the FIRST EOS regardless of padding scheme:
+    CLIP's tokenize pads with zeros, not repeated EOS — a zero-padded and an
+    EOS-padded version of the same caption must give the same loss."""
+    model = cap_lib.GreedyCaptioner(
+        vocab_size=16, hidden=16, bos=BOS, eos=EOS, max_len=6
+    )
+    rng = np.random.default_rng(1)
+    feats = jnp.asarray(rng.standard_normal((1, 8)).astype(np.float32))
+    eos_padded = jnp.asarray([[BOS, 1, 2, 3, EOS, EOS, EOS]], jnp.int32)
+    zero_padded = jnp.asarray([[BOS, 1, 2, 3, EOS, 0, 0]], jnp.int32)
+    variables = model.init(jax.random.PRNGKey(1), feats, eos_padded[:, :-1])
+    l_eos = float(cap_lib.caption_loss(model, variables, feats, eos_padded))
+    l_zero = float(cap_lib.caption_loss(model, variables, feats, zero_padded))
+    np.testing.assert_allclose(l_zero, l_eos, rtol=1e-6)
+
+
 def test_greedy_decode_memorises(trained):
     model, variables, feats, seqs = trained
     toks = np.asarray(cap_lib.greedy_generate(model, variables, feats))
