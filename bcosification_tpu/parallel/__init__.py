@@ -1,2 +1,2 @@
-from bcosification_tpu.parallel import mesh
+from bcosification_tpu.parallel import fsdp, mesh, pp, sp, tp
 from bcosification_tpu.parallel.mesh import make_mesh, replicate, shard_batch
