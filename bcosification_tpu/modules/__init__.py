@@ -12,6 +12,7 @@ from bcosification_tpu.modules.bcos_layers import (
     NormedLinear,
 )
 from bcosification_tpu.modules.containers import BcosSequential, call_with_flags
+from bcosification_tpu.modules.moe import BcosMoE
 from bcosification_tpu.modules.norms import *  # noqa: F401,F403
 from bcosification_tpu.modules.stochastic_depth import StochasticDepth
 
@@ -25,6 +26,7 @@ __all__ = [
     "NormedConv2d",
     "NormedLinear",
     "LogitLayer",
+    "BcosMoE",
     "BcosSequential",
     "call_with_flags",
     "DetachableGELU",

@@ -1,0 +1,122 @@
+"""B-cos Mixture-of-Experts with switch (top-1) routing — expert-parallel.
+
+Beyond-reference: shrebox/B-cosification has no MoE anywhere; this module
+exists so the framework's scaling story covers expert parallelism alongside
+DP/TP/SP/PP/FSDP (parallel/). It is a drop-in replacement for a B-cos MLP
+expansion (e.g. the ViT FeedForward's first linear) whose parameter count
+scales with `num_experts` at constant per-token FLOPs.
+
+TPU-native formulation: no ragged gather/scatter — routing is expressed as
+two dense one-hot einsums (dispatch and combine) over an (experts, capacity)
+buffer, the canonical XLA/GSPMD MoE form. With the expert axis of the weights
+sharded over the mesh's 'model' axis (``ep_param_specs``), GSPMD turns the
+dispatch/combine einsums into the all-to-alls of classic expert parallelism;
+each device computes only its experts.
+
+B-cos semantics: each expert is a `bcos_linear` (ops/bcos.py) — so the layer
+stays a dynamic linear module. In explain mode the router gate is detached
+(like attention's q/k and the B-cos dynamic scale): the layer then acts as
+the fixed linear map gate·W_e(x), values identical between modes, and the
+completeness property (x · ∇x) == y holds for the bias-free layer
+(tests/test_moe.py).
+
+Capacity: each expert processes at most ``ceil(tokens/experts) *
+capacity_factor`` tokens; overflow tokens produce zero output (callers keep
+them on the residual path, the standard switch-transformer contract).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from bcosification_tpu.ops import bcos as bcos_ops
+
+__all__ = ["BcosMoE", "ep_param_specs"]
+
+
+class BcosMoE(nn.Module):
+    """Top-1-routed mixture of B-cos linear experts over the last axis."""
+
+    num_experts: int
+    features: int
+    b: float = 2.0
+    capacity_factor: float = 1.25
+    normalize_weights: bool = True
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False, explain: bool = False):
+        E, F = self.num_experts, self.features
+        d = x.shape[-1]
+        lead = x.shape[:-1]
+        N = int(np.prod(lead))
+        xt = x.reshape(N, d)
+
+        router = self.param(
+            "router", nn.initializers.normal(0.02), (d, E), jnp.float32
+        )
+        experts = self.param(
+            "experts",
+            nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
+            (E, d, F),
+            jnp.float32,
+        )
+
+        logits = xt.astype(jnp.float32) @ router
+        probs = jax.nn.softmax(logits, axis=-1)
+        gate = jnp.max(probs, axis=-1)  # (N,)
+        expert_idx = jnp.argmax(probs, axis=-1)  # (N,)
+        if explain:
+            # the gate is a modulation, not part of the linear map — detach it
+            # exactly like the B-cos dynamic scale / attention q,k
+            gate = jax.lax.stop_gradient(gate)
+
+        C = int(np.ceil(N / E * self.capacity_factor))
+        onehot = jax.nn.one_hot(expert_idx, E, dtype=jnp.int32)  # (N, E)
+        # position of each token within its expert's buffer (0-based)
+        pos = jnp.cumsum(onehot, axis=0) * onehot - 1  # (N, E), -1 where unrouted
+        pos_in_expert = jnp.sum(pos * onehot, axis=-1)  # (N,)
+        keep = (pos_in_expert >= 0) & (pos_in_expert < C)
+        # dispatch tensor (N, E, C): 1 where token n goes to slot (e, c)
+        dispatch = (
+            onehot[:, :, None]
+            * jax.nn.one_hot(jnp.clip(pos_in_expert, 0, C - 1), C, dtype=jnp.int32)[
+                :, None, :
+            ]
+            * keep[:, None, None]
+        ).astype(x.dtype)
+
+        # (E, C, d): each expert's token buffer (zeros in empty slots)
+        xe = jnp.einsum("nec,nd->ecd", dispatch, xt)
+        ye = jax.vmap(
+            lambda w, xs: bcos_ops.bcos_linear(
+                xs,
+                w,
+                b=self.b,
+                normalize_weights=self.normalize_weights,
+                explain=explain,
+            )
+        )(experts.astype(x.dtype), xe)  # (E, C, F)
+        combine = dispatch * gate.astype(x.dtype)[:, None, None]
+        yt = jnp.einsum("nec,ecf->nf", combine, ye)
+        return yt.reshape(*lead, F)
+
+
+def ep_param_specs(params, axis: str = "model"):
+    """PartitionSpecs sharding every BcosMoE 'experts' leaf over ``axis``.
+
+    Apply with parallel.tp.shard_params(params, mesh, specs). The router and
+    everything else stays replicated.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    def spec(path, leaf):
+        keys = [p.key if hasattr(p, "key") else str(p) for p in path]
+        if keys and keys[-1] == "experts" and getattr(leaf, "ndim", 0) == 3:
+            return P(axis, None, None)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec, params)

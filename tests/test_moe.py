@@ -1,0 +1,93 @@
+"""BcosMoE: routing parity vs per-token expert evaluation, explain-mode value
+invariance + completeness, capacity overflow contract, and expert-parallel
+sharding parity on the 8-device mesh."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from bcosification_tpu.modules.moe import BcosMoE, ep_param_specs
+from bcosification_tpu.ops import bcos as bcos_ops
+from bcosification_tpu.parallel import mesh as mesh_lib
+from bcosification_tpu.parallel import tp as tp_lib
+
+
+def _build(rng, E=4, d=16, F=24, **kw):
+    moe = BcosMoE(num_experts=E, features=F, **kw)
+    x = jnp.asarray(rng.standard_normal((2, 8, d)).astype(np.float32))
+    params = moe.init(jax.random.PRNGKey(0), x)["params"]
+    return moe, params, x
+
+
+def test_moe_matches_per_token_expert(rng):
+    # capacity >= all tokens: every token routed, so the dense-dispatch MoE
+    # must equal evaluating each token through its argmax expert times gate
+    moe, params, x = _build(rng, capacity_factor=8.0)
+    y = moe.apply({"params": params}, x)
+
+    xt = x.reshape(-1, x.shape[-1])
+    logits = xt @ params["router"]
+    probs = jax.nn.softmax(logits, -1)
+    idx = jnp.argmax(probs, -1)
+    gate = jnp.max(probs, -1)
+    want = jnp.stack(
+        [
+            gate[n] * bcos_ops.bcos_linear(xt[n], params["experts"][idx[n]], b=2.0)
+            for n in range(xt.shape[0])
+        ]
+    ).reshape(y.shape)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+
+def test_moe_explain_values_identical_and_complete(rng):
+    moe, params, x = _build(rng, capacity_factor=8.0)
+    y = moe.apply({"params": params}, x)
+    y_expl = moe.apply({"params": params}, x, explain=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_expl), rtol=0, atol=0)
+
+    # completeness: with gate + dynamic scale detached the layer is locally
+    # linear, so the JVP along x reproduces the output exactly
+    def f(x):
+        return moe.apply({"params": params}, x, explain=True)
+
+    _, jvp = jax.jvp(f, (x,), (x,))
+    np.testing.assert_allclose(np.asarray(jvp), np.asarray(y), rtol=2e-4, atol=1e-5)
+
+
+def test_moe_overflow_tokens_are_dropped_to_zero(rng):
+    # capacity 1 slot/expert: with 16 tokens on 4 experts most tokens
+    # overflow; their outputs must be exactly zero (residual-path contract)
+    moe, params, x = _build(rng, capacity_factor=0.25)  # C = ceil(16/4*0.25)=1
+    y = np.asarray(moe.apply({"params": params}, x)).reshape(-1, 24)
+
+    xt = x.reshape(-1, x.shape[-1])
+    idx = np.asarray(jnp.argmax(xt @ params["router"], -1))
+    kept = set()
+    n_zero = 0
+    for n in range(xt.shape[0]):
+        if idx[n] in kept:
+            assert np.all(y[n] == 0.0), f"overflow token {n} not zeroed"
+            n_zero += 1
+        else:
+            kept.add(idx[n])
+    assert n_zero >= 16 - 4
+
+
+def test_moe_expert_parallel_matches_unsharded(rng):
+    mesh = mesh_lib.make_mesh(model_parallel=4)  # (data=2, model=4)
+    moe, params, x = _build(rng, E=8, capacity_factor=8.0)
+    want = jax.jit(lambda p, x: moe.apply({"params": p}, x))(params, x)
+
+    specs = ep_param_specs(params)
+    assert specs["experts"] == P("model", None, None)
+    assert specs["router"] == P()
+    p_ep = tp_lib.shard_params(params, mesh, specs)
+    shard_shapes = {s.data.shape for s in p_ep["experts"].addressable_shards}
+    assert shard_shapes == {(8 // 4, 16, 24)}, shard_shapes
+
+    x_sh = jax.device_put(x, NamedSharding(mesh, P("data")))
+    got = jax.jit(lambda p, x: moe.apply({"params": p}, x))(p_ep, x_sh)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6
+    )
