@@ -121,6 +121,38 @@ class FeedForward(nn.Module):
         return x
 
 
+class MoEFeedForward(nn.Module):
+    """Beyond-reference: switch-MoE variant of FeedForward — the projection
+    linear becomes a BcosMoE (top-1-routed B-cos experts, modules/moe.py),
+    the expansion stays shared. Parameter count scales with num_experts at
+    constant per-token FLOPs; experts shard over the 'model' mesh axis via
+    moe.ep_param_specs. Opt-in through SimpleViT(moe_experts=E).
+
+    The MoE must be LAST: capacity-dropped tokens emit exact-zero rows
+    (the switch-transformer residual contract), and a B-cos linear placed
+    after them would hit ||x||=0 whose sqrt-VJP is inf -> NaN grads. As the
+    block output, the zero rows flow straight into the Encoder's residual
+    add, which is exactly what token dropping means."""
+
+    num_experts: int
+    hidden_dim: int
+    out_dim: int
+    linear_layer: Callable = BcosLinear
+    norm_layer: Callable = norms.DetachableLayerNorm
+    act_layer: Callable = Identity
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False, explain: bool = False):
+        from bcosification_tpu.modules.moe import BcosMoE
+
+        f = dict(train=train, explain=explain)
+        x = self.norm_layer(x.shape[-1], name="norm")(x, **f)
+        x = self.linear_layer(self.hidden_dim, name="linear1")(x, **f)
+        x = self.act_layer(name="act")(x, **f)
+        x = BcosMoE(self.num_experts, self.out_dim, name="moe2")(x, **f)
+        return x
+
+
 class Attention(nn.Module):
     """vit.py:116-158: plain to_qkv Linear (bias-free), q/k detached in
     explanation mode, to_out via the injected linear layer."""
@@ -167,6 +199,7 @@ class Encoder(nn.Module):
     norm_layer: Callable = norms.DetachableLayerNorm
     act_layer: Callable = Identity
     qkv_layer: Callable = PlainLinear
+    moe_experts: int = 0  # >0: switch-MoE FFN (beyond-reference, see MoEFeedForward)
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, explain: bool = False):
@@ -179,14 +212,26 @@ class Encoder(nn.Module):
             self.qkv_layer,
             name="attn",
         )(x, **f) + x
-        x = FeedForward(
-            self.mlp_dim,
-            x.shape[-1],
-            self.linear_layer,
-            self.norm_layer,
-            self.act_layer,
-            name="ff",
-        )(x, **f) + x
+        if self.moe_experts > 0:
+            ff = MoEFeedForward(
+                self.moe_experts,
+                self.mlp_dim,
+                x.shape[-1],
+                self.linear_layer,
+                self.norm_layer,
+                self.act_layer,
+                name="ff",
+            )
+        else:
+            ff = FeedForward(
+                self.mlp_dim,
+                x.shape[-1],
+                self.linear_layer,
+                self.norm_layer,
+                self.act_layer,
+                name="ff",
+            )
+        x = ff(x, **f) + x
         return x
 
 
@@ -221,6 +266,7 @@ class SimpleViT(nn.Module):
     logit_bias: Optional[float] = None
     logit_temperature: Optional[float] = None
     pos_embedding: bool = True
+    moe_experts: int = 0  # >0: switch-MoE FFNs (beyond-reference)
 
     @nn.compact
     def __call__(self, img, *, train: bool = False, explain: bool = False):
@@ -262,6 +308,7 @@ class SimpleViT(nn.Module):
                 self.norm_layer,
                 self.act_layer,
                 self.qkv_layer,
+                moe_experts=self.moe_experts,
                 name=f"encoder_{i}",
             )(x, **f)
 

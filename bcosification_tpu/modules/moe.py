@@ -35,7 +35,22 @@ from flax import linen as nn
 
 from bcosification_tpu.ops import bcos as bcos_ops
 
-__all__ = ["BcosMoE", "ep_param_specs"]
+__all__ = ["BcosMoE", "ep_param_specs", "load_balancing_loss"]
+
+
+def load_balancing_loss(router_probs: jax.Array, expert_idx: jax.Array) -> jax.Array:
+    """Switch-transformer auxiliary loss: E * sum_e f_e * P_e.
+
+    f_e = fraction of tokens routed to expert e (hard assignment),
+    P_e = mean router probability for e. Minimised (=1) at perfect balance;
+    add `aux * coeff` (coeff ~1e-2) to the task loss when training a BcosMoE.
+
+    router_probs: (N, E) softmax outputs; expert_idx: (N,) argmax routes.
+    """
+    E = router_probs.shape[-1]
+    f = jnp.mean(jax.nn.one_hot(expert_idx, E, dtype=router_probs.dtype), axis=0)
+    p = jnp.mean(router_probs, axis=0)
+    return E * jnp.sum(f * p)
 
 
 class BcosMoE(nn.Module):
@@ -73,6 +88,9 @@ class BcosMoE(nn.Module):
             # the gate is a modulation, not part of the linear map — detach it
             # exactly like the B-cos dynamic scale / attention q,k
             gate = jax.lax.stop_gradient(gate)
+        # for load_balancing_loss: apply with mutable=["intermediates"]
+        self.sow("intermediates", "router_probs", probs)
+        self.sow("intermediates", "expert_idx", expert_idx)
 
         C = int(np.ceil(N / E * self.capacity_factor))
         onehot = jax.nn.one_hot(expert_idx, E, dtype=jnp.int32)  # (N, E)
@@ -89,8 +107,13 @@ class BcosMoE(nn.Module):
             * keep[:, None, None]
         ).astype(x.dtype)
 
-        # (E, C, d): each expert's token buffer (zeros in empty slots)
+        # (E, C, d): each expert's token buffer. Empty slots are filled with
+        # ones, NOT zeros: combine ignores them either way, but an all-zero
+        # row hits ||x||=0 whose sqrt-VJP partial is inf, and the zero
+        # cotangent times inf would NaN the expert weight grads (0*inf)
         xe = jnp.einsum("nec,nd->ecd", dispatch, xt)
+        occupied = jnp.einsum("nec->ec", dispatch)  # 1 where a token landed
+        xe = xe + (1.0 - occupied)[..., None].astype(x.dtype)
         ye = jax.vmap(
             lambda w, xs: bcos_ops.bcos_linear(
                 xs,

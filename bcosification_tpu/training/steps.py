@@ -56,8 +56,14 @@ def create_train_state(
     b_tx: Optional[optax.GradientTransformation] = None,
     with_ema: bool = False,
 ) -> TrainState:
-    params = variables["params"]
-    batch_stats = variables.get("batch_stats", {})
+    # copy, never alias: train_step donates its state, and device_put (e.g.
+    # mesh.replicate) can alias the device-0 shard to the source buffer — a
+    # donating step would then delete the CALLER's `variables` leaves too
+    # (breaks any second fit / restart from the same init in-process)
+    params = jax.tree_util.tree_map(jnp.copy, variables["params"])
+    batch_stats = jax.tree_util.tree_map(
+        jnp.copy, variables.get("batch_stats", {})
+    )
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,

@@ -163,11 +163,12 @@ class Trainer:
         fast_dev_run: bool = False,
         explanation_logging: bool = False,
         explanation_logging_every_n_epochs: int = 1,
+        resume: bool = True,
     ):
         if self.config.get("clip_kd", False):
             return self.fit_kd(
                 model, variables, datamodule, max_epochs=max_epochs,
-                fast_dev_run=fast_dev_run,
+                fast_dev_run=fast_dev_run, resume=resume,
             )
         config = self.config
         max_epochs = max_epochs or config.get("trainer", {}).get("max_epochs", 90)
@@ -228,12 +229,14 @@ class Trainer:
             variables, tx, b_tx, with_ema=ema_config is not None
         )
 
-        # resume (training.py:82-89)
+        # resume (training.py:82-89); --force-no-resume (ref train.py:40-46)
+        # starts from scratch even when a last checkpoint exists
         start_epoch = 0
-        restored, last_epoch = self.ckpt.restore(state, "last")
-        if restored is not None:
-            state, start_epoch = restored, last_epoch + 1
-            print(f"Resuming from epoch {last_epoch}")
+        if resume:
+            restored, last_epoch = self.ckpt.restore(state, "last")
+            if restored is not None:
+                state, start_epoch = restored, last_epoch + 1
+                print(f"Resuming from epoch {last_epoch}")
 
         state = mesh_lib.replicate(state, self.mesh)
 
@@ -316,6 +319,7 @@ class Trainer:
         datamodule,
         max_epochs: Optional[int] = None,
         fast_dev_run: bool = False,
+        resume: bool = True,
     ):
         """SigLIP knowledge distillation (trainer.py:652-724 + callbacks):
         frozen CLIP teacher (the tower matching the student's model.name),
@@ -362,10 +366,11 @@ class Trainer:
         state = steps_lib.create_train_state(variables, tx)
 
         start_epoch = 0
-        restored, last_epoch = self.ckpt.restore(state, "last")
-        if restored is not None:
-            state, start_epoch = restored, last_epoch + 1
-            print(f"Resuming from epoch {last_epoch}")
+        if resume:
+            restored, last_epoch = self.ckpt.restore(state, "last")
+            if restored is not None:
+                state, start_epoch = restored, last_epoch + 1
+                print(f"Resuming from epoch {last_epoch}")
         state = mesh_lib.replicate(state, self.mesh)
 
         @jax.jit
@@ -604,5 +609,6 @@ def run_training(args) -> None:
         explanation_logging_every_n_epochs=getattr(
             args, "explanation_logging_every_n_epochs", 1
         ),
+        resume=getattr(args, "resume", True),
     )
 

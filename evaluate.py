@@ -34,7 +34,10 @@ def get_parser():
     parser.add_argument("--ema", action="store_true", help="use EMA weights")
     parser.add_argument("--weights", default=None, help="explicit .npz weights file")
     parser.add_argument("--batch_size", type=int, default=None)
-    parser.add_argument("--no_cuda", action="store_true", help="parity no-op")
+    parser.add_argument(
+        "--no-cuda", "--no_cuda", dest="no_cuda", action="store_true",
+        help="parity no-op (reference spells it --no-cuda)",
+    )
     parser.add_argument(
         "--base_directory", default=None,
         help="root for experiment save dirs (reference evaluate.py arg)",

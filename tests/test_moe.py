@@ -7,7 +7,11 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from bcosification_tpu.modules.moe import BcosMoE, ep_param_specs
+from bcosification_tpu.modules.moe import (
+    BcosMoE,
+    ep_param_specs,
+    load_balancing_loss,
+)
 from bcosification_tpu.ops import bcos as bcos_ops
 from bcosification_tpu.parallel import mesh as mesh_lib
 from bcosification_tpu.parallel import tp as tp_lib
@@ -72,6 +76,59 @@ def test_moe_overflow_tokens_are_dropped_to_zero(rng):
         else:
             kept.add(idx[n])
     assert n_zero >= 16 - 4
+
+
+def test_moe_load_balancing_loss(rng):
+    # perfect balance -> exactly 1; full collapse -> ~E
+    E, N = 4, 16
+    probs = jnp.full((N, E), 1.0 / E)
+    idx = jnp.arange(N) % E
+    np.testing.assert_allclose(float(load_balancing_loss(probs, idx)), 1.0, rtol=1e-6)
+    collapsed = jax.nn.one_hot(jnp.zeros(N, jnp.int32), E) * 0.97 + 0.01
+    np.testing.assert_allclose(
+        float(load_balancing_loss(collapsed, jnp.zeros(N, jnp.int32))),
+        4 * 0.98, rtol=1e-5,
+    )
+
+    # the module sows what the loss needs
+    moe, params, x = _build(rng)
+    _, inter = moe.apply({"params": params}, x, mutable=["intermediates"])
+    probs = inter["intermediates"]["router_probs"][0]
+    idx = inter["intermediates"]["expert_idx"][0]
+    aux = float(load_balancing_loss(probs, idx))
+    assert np.isfinite(aux) and aux >= 1.0 - 1e-6
+
+
+def test_moe_vit_integration(rng):
+    """SimpleViT(moe_experts=4): runs, explain-invariant values, finite grads,
+    and ep_param_specs finds the nested expert leaves."""
+    from jax.sharding import PartitionSpec
+    from bcosification_tpu.models import vit as vit_lib
+
+    model = vit_lib.SimpleViT(
+        image_size=16, patch_size=4, num_classes=5, dim=32, depth=2, heads=4,
+        mlp_dim=48, moe_experts=4,
+    )
+    x = jnp.asarray(rng.standard_normal((4, 16, 16, 6)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    assert params["encoder_0"]["ff"]["moe2"]["experts"].shape == (4, 48, 32)
+
+    y = model.apply({"params": params}, x, train=False)
+    y_expl = model.apply({"params": params}, x, train=False, explain=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_expl), rtol=0, atol=0)
+
+    g = jax.grad(
+        lambda p: jnp.sum(model.apply({"params": p}, x, train=False) ** 2)
+    )(params)
+    assert all(
+        np.isfinite(np.asarray(l)).all() for l in jax.tree_util.tree_leaves(g)
+    )
+
+    specs = ep_param_specs(params)
+    assert specs["encoder_0"]["ff"]["moe2"]["experts"] == PartitionSpec(
+        "model", None, None
+    )
+    assert specs["encoder_0"]["attn"]["to_qkv"]["weight"] == PartitionSpec()
 
 
 def test_moe_expert_parallel_matches_unsharded(rng):

@@ -119,6 +119,12 @@ def test_trainer_fit_and_resume(tmp_path):
     state2 = trainer2.fit(model, variables, dm, max_epochs=3)
     assert int(state2.step) == 3 * 4
 
+    # --force-no-resume (ref train.py:40-46): resume=False starts from
+    # scratch even though last checkpoints exist
+    trainer3 = Trainer(exp)
+    state3 = trainer3.fit(model, variables, dm, max_epochs=1, resume=False)
+    assert int(state3.step) == 1 * 4
+
     # learned something: val_acc above chance
     import gzip
     import json

@@ -62,7 +62,14 @@ def get_parser():
     parser.add_argument("--fast_dev_run", action="store_true")
     parser.add_argument("--debug", action="store_true")
     parser.add_argument("--track_grad_norm", action="store_true")
-    parser.add_argument("--resume", action="store_true", default=True)
+    parser.add_argument(
+        "--force-no-resume",
+        dest="resume",
+        default=True,  # resume by default, exactly like the reference
+        action="store_false",
+        help="do NOT auto-resume from the last checkpoint "
+        "(reference train.py:40-46 — note the inverted dest)",
+    )
     return parser
 
 
