@@ -132,7 +132,11 @@ class MoEFeedForward(nn.Module):
     (the switch-transformer residual contract), and a B-cos linear placed
     after them would hit ||x||=0 whose sqrt-VJP is inf -> NaN grads. As the
     block output, the zero rows flow straight into the Encoder's residual
-    add, which is exactly what token dropping means."""
+    add, which is exactly what token dropping means.
+
+    The experts inherit the model's B-cos configuration: `b` is read from the
+    injected linear_layer partial (the experiment factories bake it in);
+    biased linears are rejected — BcosMoE experts are bias-free."""
 
     num_experts: int
     hidden_dim: int
@@ -140,16 +144,31 @@ class MoEFeedForward(nn.Module):
     linear_layer: Callable = BcosLinear
     norm_layer: Callable = norms.DetachableLayerNorm
     act_layer: Callable = Identity
+    capacity_factor: float = 1.25
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, explain: bool = False):
+        import functools
+
         from bcosification_tpu.modules.moe import BcosMoE
+
+        b = 2.0
+        if isinstance(self.linear_layer, functools.partial):
+            b = self.linear_layer.keywords.get("b", b)
+            if self.linear_layer.keywords.get("use_bias", False):
+                raise ValueError(
+                    "moe_experts>0 with use_bias=True linears: BcosMoE "
+                    "experts are bias-free; disable the bias or the MoE"
+                )
 
         f = dict(train=train, explain=explain)
         x = self.norm_layer(x.shape[-1], name="norm")(x, **f)
         x = self.linear_layer(self.hidden_dim, name="linear1")(x, **f)
         x = self.act_layer(name="act")(x, **f)
-        x = BcosMoE(self.num_experts, self.out_dim, name="moe2")(x, **f)
+        x = BcosMoE(
+            self.num_experts, self.out_dim, b=b,
+            capacity_factor=self.capacity_factor, name="moe2",
+        )(x, **f)
         return x
 
 
@@ -200,6 +219,7 @@ class Encoder(nn.Module):
     act_layer: Callable = Identity
     qkv_layer: Callable = PlainLinear
     moe_experts: int = 0  # >0: switch-MoE FFN (beyond-reference, see MoEFeedForward)
+    moe_capacity_factor: float = 1.25
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, explain: bool = False):
@@ -220,6 +240,7 @@ class Encoder(nn.Module):
                 self.linear_layer,
                 self.norm_layer,
                 self.act_layer,
+                capacity_factor=self.moe_capacity_factor,
                 name="ff",
             )
         else:
@@ -267,6 +288,7 @@ class SimpleViT(nn.Module):
     logit_temperature: Optional[float] = None
     pos_embedding: bool = True
     moe_experts: int = 0  # >0: switch-MoE FFNs (beyond-reference)
+    moe_capacity_factor: float = 1.25
 
     @nn.compact
     def __call__(self, img, *, train: bool = False, explain: bool = False):
@@ -309,6 +331,7 @@ class SimpleViT(nn.Module):
                 self.act_layer,
                 self.qkv_layer,
                 moe_experts=self.moe_experts,
+                moe_capacity_factor=self.moe_capacity_factor,
                 name=f"encoder_{i}",
             )(x, **f)
 

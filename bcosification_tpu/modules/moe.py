@@ -2,9 +2,12 @@
 
 Beyond-reference: shrebox/B-cosification has no MoE anywhere; this module
 exists so the framework's scaling story covers expert parallelism alongside
-DP/TP/SP/PP/FSDP (parallel/). It is a drop-in replacement for a B-cos MLP
-expansion (e.g. the ViT FeedForward's first linear) whose parameter count
-scales with `num_experts` at constant per-token FLOPs.
+DP/TP/SP/PP/FSDP (parallel/). It replaces a B-cos linear whose output feeds
+a residual add — e.g. the ViT FFN's projection (models/vit.MoEFeedForward) —
+scaling parameter count with `num_experts` at constant per-token FLOPs.
+It must be the LAST layer before the residual: capacity-dropped tokens emit
+exact-zero rows, and a B-cos/LayerNorm layer consuming them would NaN its
+gradients (||x||=0 sqrt-VJP is inf; 0*inf). See MoEFeedForward's docstring.
 
 TPU-native formulation: no ragged gather/scatter — routing is expressed as
 two dense one-hot einsums (dispatch and combine) over an (experts, capacity)
@@ -128,17 +131,25 @@ class BcosMoE(nn.Module):
         return yt.reshape(*lead, F)
 
 
-def ep_param_specs(params, axis: str = "model"):
+def ep_param_specs(params, axis: str = "model", n_shards: Optional[int] = None):
     """PartitionSpecs sharding every BcosMoE 'experts' leaf over ``axis``.
 
     Apply with parallel.tp.shard_params(params, mesh, specs). The router and
-    everything else stays replicated.
+    everything else stays replicated. Pass ``n_shards=mesh.shape[axis]`` to
+    fail loudly here (with the offending expert count) instead of deep inside
+    jax when num_experts is not a multiple of the mesh axis.
     """
     from jax.sharding import PartitionSpec as P
 
     def spec(path, leaf):
         keys = [p.key if hasattr(p, "key") else str(p) for p in path]
         if keys and keys[-1] == "experts" and getattr(leaf, "ndim", 0) == 3:
+            if n_shards is not None and leaf.shape[0] % n_shards != 0:
+                raise ValueError(
+                    f"expert parallelism: num_experts={leaf.shape[0]} at "
+                    f"{'/'.join(keys)} is not divisible by the '{axis}' "
+                    f"mesh axis size {n_shards}"
+                )
             return P(axis, None, None)
         return P()
 

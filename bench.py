@@ -128,15 +128,19 @@ def _multiproc_main(n_procs: int):
     """Serially re-exec this script n_procs times; print the best child line.
 
     Children run with BENCH_CHILD=1 (so they measure in-process) and a hard
-    timeout; a wedged/killed child only costs its slot — any surviving child
-    yields a result, and if all fail we fall back to measuring in-process.
-    Serial execution respects the one-TPU-client-at-a-time rule.
+    timeout chosen well above any healthy run (~3 min) because killing a live
+    TPU process can wedge the chip for the NEXT client (CLAUDE.md). If a
+    timeout does fire we therefore STOP spawning children (they would hang on
+    the wedged chip) and report the best result so far — or exit non-zero
+    fast rather than hang the caller on an untimed fallback. Serial execution
+    respects the one-TPU-client-at-a-time rule.
     """
     import os
     import subprocess
     import sys
 
     results = []
+    timed_out = False
     env = dict(os.environ, BENCH_CHILD="1")
     for i in range(n_procs):
         try:
@@ -145,11 +149,13 @@ def _multiproc_main(n_procs: int):
                 env=env,
                 capture_output=True,
                 text=True,
-                timeout=int(os.getenv("BENCH_PROC_TIMEOUT", "600")),
+                timeout=int(os.getenv("BENCH_PROC_TIMEOUT", "900")),
             )
         except subprocess.TimeoutExpired:
-            print(f"# bench child {i}: timeout", file=sys.stderr)
-            continue
+            print(f"# bench child {i}: timeout — chip may be wedged, "
+                  f"not spawning further children", file=sys.stderr)
+            timed_out = True
+            break
         line = next(
             (l for l in reversed(out.stdout.splitlines()) if l.startswith("{")), None
         )
@@ -164,6 +170,12 @@ def _multiproc_main(n_procs: int):
         print(f"# bench child {i}: {rec['value']} {rec['unit']}", file=sys.stderr)
         results.append(rec)
     if not results:
+        if timed_out:
+            print("# bench: no surviving child and a timeout occurred; "
+                  "refusing the untimed in-process fallback", file=sys.stderr)
+            sys.exit(1)
+        # children failed fast for a non-TPU reason (e.g. subprocess denied):
+        # measuring in-process is safe
         main()
         return
     best = max(results, key=lambda r: r["value"])

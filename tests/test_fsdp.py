@@ -61,18 +61,15 @@ def test_fsdp_train_step_matches_replicated(rng):
     }
     batch = mesh_lib.shard_batch(batch, mesh)
 
-    # host snapshot first: the donating train step would otherwise delete
-    # `variables`' buffers via the device_put aliasing of the device-0 shard
-    variables0 = jax.device_get(variables)
-
-    # replicated DP run (the baseline)
+    # replicated DP run (the baseline); create_train_state copies the
+    # variables leaves, so the donating step can't delete them between runs
     state_rep = steps_lib.create_train_state(variables, tx, with_ema=True)
     state_rep = mesh_lib.replicate(state_rep, mesh)
     rep1, m_rep = train_step(state_rep, batch)
     rep2, m_rep2 = train_step(rep1, batch)
 
     # FSDP run: SAME step function, state sharded over 'data'
-    state = steps_lib.create_train_state(variables0, tx, with_ema=True)
+    state = steps_lib.create_train_state(variables, tx, with_ema=True)
     specs = fsdp_lib.fsdp_state_specs(state, mesh, min_size=MIN_SIZE)
     state = fsdp_lib.shard_state(state, mesh, specs)
 

@@ -131,14 +131,46 @@ def test_moe_vit_integration(rng):
     assert specs["encoder_0"]["attn"]["to_qkv"]["weight"] == PartitionSpec()
 
 
+def test_moe_ff_inherits_b_and_rejects_bias(rng):
+    """MoEFeedForward reads b from the injected linear partial and refuses
+    biased linears (BcosMoE experts are bias-free)."""
+    import functools
+
+    from bcosification_tpu.models.vit import MoEFeedForward
+    from bcosification_tpu.modules.bcos_layers import BcosLinear
+
+    x = jnp.asarray(rng.standard_normal((2, 8, 16)).astype(np.float32))
+
+    ff_b2 = MoEFeedForward(
+        4, 24, 16, linear_layer=functools.partial(BcosLinear, b=2.0)
+    )
+    ff_b1 = MoEFeedForward(
+        4, 24, 16, linear_layer=functools.partial(BcosLinear, b=1.0)
+    )
+    p = ff_b2.init(jax.random.PRNGKey(0), x)["params"]
+    y2 = ff_b2.apply({"params": p}, x)
+    y1 = ff_b1.apply({"params": p}, x)  # same params, different b
+    assert not np.allclose(np.asarray(y1), np.asarray(y2)), (
+        "experts ignored the configured b"
+    )
+
+    ff_bias = MoEFeedForward(
+        4, 24, 16, linear_layer=functools.partial(BcosLinear, use_bias=True)
+    )
+    with np.testing.assert_raises(ValueError):
+        ff_bias.init(jax.random.PRNGKey(0), x)
+
+
 def test_moe_expert_parallel_matches_unsharded(rng):
     mesh = mesh_lib.make_mesh(model_parallel=4)  # (data=2, model=4)
     moe, params, x = _build(rng, E=8, capacity_factor=8.0)
     want = jax.jit(lambda p, x: moe.apply({"params": p}, x))(params, x)
 
-    specs = ep_param_specs(params)
+    specs = ep_param_specs(params, n_shards=4)
     assert specs["experts"] == P("model", None, None)
     assert specs["router"] == P()
+    with np.testing.assert_raises(ValueError):  # 8 experts % 3 != 0
+        ep_param_specs(params, n_shards=3)
     p_ep = tp_lib.shard_params(params, mesh, specs)
     shard_shapes = {s.data.shape for s in p_ep["experts"].addressable_shards}
     assert shard_shapes == {(8 // 4, 16, 24)}, shard_shapes
