@@ -36,7 +36,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from bcosification_tpu.parallel.mesh import DATA_AXIS
 
-__all__ = ["fsdp_spec_for_shape", "fsdp_state_specs", "shard_state", "shard_size"]
+__all__ = [
+    "fsdp_spec_for_shape",
+    "fsdp_state_specs",
+    "fsdp2d_specs",
+    "shard_state",
+    "shard_size",
+]
 
 # Leaves smaller than this stay replicated: the all-gather latency of many
 # tiny tensors outweighs the memory saved (per-channel BN vectors etc.).
@@ -79,6 +85,39 @@ def fsdp_state_specs(
     n = mesh.shape[DATA_AXIS]
     return jax.tree_util.tree_map(
         lambda leaf: fsdp_spec_for_shape(np.shape(leaf), n, min_size), tree
+    )
+
+
+def fsdp2d_specs(
+    tree: Any, mesh: Mesh, base_specs: Any, min_size: int = MIN_LEAF_SIZE
+) -> Any:
+    """2D weight sharding: add a 'data'-axis shard on top of existing specs.
+
+    The scaling-book standard for large transformers — tensor-parallel specs
+    (parallel/tp.py or moe.ep_param_specs) claim one dim per weight over
+    'model'; this adds 'data' on the largest still-unassigned divisible dim,
+    so each weight lives in n_data * n_model pieces. Leaves whose base spec
+    claims every shardable dim (or that are too small) keep their base spec.
+    """
+    n = mesh.shape[DATA_AXIS]
+
+    def leaf(spec, x):
+        shape = np.shape(x)
+        if int(np.prod(shape)) < min_size:
+            return spec
+        assigned = list(spec) + [None] * (len(shape) - len(spec))
+        best = None
+        for ax, dim in enumerate(shape):
+            if assigned[ax] is None and dim % n == 0 and dim >= n:
+                if best is None or dim >= shape[best]:
+                    best = ax
+        if best is None:
+            return spec
+        assigned[best] = DATA_AXIS
+        return P(*assigned)
+
+    return jax.tree_util.tree_map(
+        leaf, base_specs, tree, is_leaf=lambda x: isinstance(x, P)
     )
 
 

@@ -43,6 +43,54 @@ def test_fsdp_spec_for_shape():
     assert fsdp_lib.fsdp_spec_for_shape((64,), 8) == P()
 
 
+def test_fsdp2d_composes_with_tp(rng):
+    """2D weight sharding (TP over 'model' + FSDP over 'data'): forward and
+    grads match the replicated run, and a qkv weight lives in 8 pieces."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding
+
+    from bcosification_tpu.models import vit as vit_lib
+    from bcosification_tpu.parallel import tp as tp_lib
+
+    mesh = mesh_lib.make_mesh(model_parallel=4)  # (data=2, model=4)
+    model = vit_lib.SimpleViT(
+        image_size=16, patch_size=4, num_classes=7, dim=32, depth=2, heads=4,
+        mlp_dim=64,
+    )
+    x = jnp.asarray(rng.standard_normal((8, 16, 16, 6)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    params = variables["params"]
+    want = jax.jit(lambda p, x: model.apply({"params": p}, x, train=False))(params, x)
+
+    specs2d = fsdp_lib.fsdp2d_specs(
+        params, mesh, tp_lib.tp_param_specs(params), min_size=256
+    )
+    # qkv: TP claims the out dim, FSDP adds 'data' on the in dim -> 2D
+    assert specs2d["encoder_0"]["attn"]["to_qkv"]["weight"] == P("data", "model")
+    p2d = fsdp_lib.shard_state(params, mesh, specs2d)
+    qkv = p2d["encoder_0"]["attn"]["to_qkv"]["weight"]
+    assert {s.data.shape for s in qkv.addressable_shards} == {(16, 24)}
+
+    x_sh = jax.device_put(
+        x, NamedSharding(mesh, P("data"))
+    )
+    got = jax.jit(lambda p, x: model.apply({"params": p}, x, train=False))(p2d, x_sh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6)
+
+    g_ref = jax.jit(
+        jax.grad(lambda p: jnp.sum(model.apply({"params": p}, x, train=False) ** 2))
+    )(params)
+    g_2d = jax.jit(
+        jax.grad(lambda p: jnp.sum(model.apply({"params": p}, x_sh, train=False) ** 2))
+    )(p2d)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-5, atol=5e-6
+        ),
+        jax.device_get(g_ref), jax.device_get(g_2d),
+    )
+
+
 def test_fsdp_train_step_matches_replicated(rng):
     import optax
 
