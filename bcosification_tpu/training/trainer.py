@@ -108,6 +108,17 @@ class Trainer:
         # still tracked everywhere (it's cheap and keeps behaviour identical)
         self._io_process = mesh_lib.is_main_process()
         self.loggers = setup_loggers(self.args, self.save_dir) if self._io_process else []
+
+    def _place_state(self, state):
+        """Place the TrainState on the mesh: replicated (the reference's DDP
+        regime, default) or FSDP/ZeRO-3-sharded over 'data' when the config
+        sets ``trainer.fsdp: true`` (beyond-reference; params + Adam moments
+        + EMA sharded, same step function — parallel/fsdp.py)."""
+        if self.config.get("trainer", {}).get("fsdp", False):
+            from bcosification_tpu.parallel import fsdp as fsdp_lib
+
+            return fsdp_lib.shard_state(state, self.mesh)
+        return mesh_lib.replicate(state, self.mesh)
         for lg in self.loggers:
             lg.log_hparams(self.config)
 
@@ -238,7 +249,7 @@ class Trainer:
                 state, start_epoch = restored, last_epoch + 1
                 print(f"Resuming from epoch {last_epoch}")
 
-        state = mesh_lib.replicate(state, self.mesh)
+        state = self._place_state(state)
 
         # ImageNetEval (ref trainer.py:1090-1103): evaluate the freshly
         # converted model on the validation split BEFORE any training — the
@@ -371,7 +382,7 @@ class Trainer:
             if restored is not None:
                 state, start_epoch = restored, last_epoch + 1
                 print(f"Resuming from epoch {last_epoch}")
-        state = mesh_lib.replicate(state, self.mesh)
+        state = self._place_state(state)
 
         @jax.jit
         def val_step(params, batch_stats, images):

@@ -135,6 +135,52 @@ def test_trainer_fit_and_resume(tmp_path):
     assert final_acc > 0.3
 
 
+def test_trainer_fsdp_matches_replicated(tmp_path):
+    """trainer.fsdp: true shards the TrainState over 'data' (ZeRO-3) with an
+    unchanged step; the training trajectory must equal the replicated run."""
+    import gzip
+    import json
+
+    class WideNet(nn.Module):
+        # the middle conv (3,3,64,16) = 9216 params crosses fsdp's
+        # MIN_LEAF_SIZE, so the flag has something real to shard
+        @nn.compact
+        def __call__(self, x, *, train=False, explain=False):
+            from bcosification_tpu.modules import BcosConv2d, norms
+
+            f = dict(train=train, explain=explain)
+            x = BcosConv2d(features=64, kernel_size=3, padding=1)(x, **f)
+            x = norms.NoBias(norms.BatchNormUncentered2d)(features=64)(x, **f)
+            x = BcosConv2d(features=16, kernel_size=3, padding=1)(x, **f)
+            x = BcosConv2d(features=4, kernel_size=1)(x, **f)
+            return x.mean(axis=(1, 2))
+
+    def run(root, fsdp):
+        model = WideNet()
+        dm = SynthDataModule()
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.asarray(dm.images[:1]), train=True
+        )
+        exp = _fake_experiment(root)
+        exp.config["trainer"]["fsdp"] = fsdp
+        trainer = Trainer(exp)
+        state = trainer.fit(model, variables, dm, max_epochs=2)
+        sharded = any(
+            "data" in str(getattr(l.sharding, "spec", ""))
+            for l in jax.tree_util.tree_leaves(state.params)
+        )
+        with gzip.open(exp.save_dir / "metrics" / "metrics.json.gz", "rt") as f:
+            return json.load(f), sharded
+
+    h_rep, rep_sharded = run(tmp_path / "rep", False)
+    h_fsdp, fsdp_sharded = run(tmp_path / "fsdp", True)
+    assert not rep_sharded and fsdp_sharded
+    for k in ("train_loss", "val_acc1"):
+        a = [v for _, v in h_rep[k]]
+        b = [v for _, v in h_fsdp[k]]
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7, err_msg=k)
+
+
 def test_eval_deterministic(tmp_path):
     """evaluate.py:74-75 determinism contract: identical logits across runs."""
     model = TinyNet()
