@@ -91,7 +91,8 @@ class Trainer:
         self.experiment = experiment
         self.config = experiment.config
         self.args = args or {}
-        self.mesh = mesh or mesh_lib.make_mesh()
+        mp = int(self.config.get("trainer", {}).get("model_parallel", 1) or 1)
+        self.mesh = mesh or mesh_lib.make_mesh(model_parallel=mp)
         self.save_dir = experiment.save_dir
         self.save_dir.mkdir(parents=True, exist_ok=True)
         monitor = "val_loss" if self._is_clip_kd() else "val_acc1"
@@ -110,15 +111,36 @@ class Trainer:
         self.loggers = setup_loggers(self.args, self.save_dir) if self._io_process else []
 
     def _place_state(self, state):
-        """Place the TrainState on the mesh: replicated (the reference's DDP
-        regime, default) or FSDP/ZeRO-3-sharded over 'data' when the config
-        sets ``trainer.fsdp: true`` (beyond-reference; params + Adam moments
-        + EMA sharded, same step function — parallel/fsdp.py)."""
-        if self.config.get("trainer", {}).get("fsdp", False):
-            from bcosification_tpu.parallel import fsdp as fsdp_lib
+        """Place the TrainState on the mesh (beyond-reference scale-out; the
+        reference's DDP regime — fully replicated — is the default):
 
-            return fsdp_lib.shard_state(state, self.mesh)
-        return mesh_lib.replicate(state, self.mesh)
+        - ``trainer.model_parallel: mp`` — Megatron TP over the 'model' axis.
+          tp_param_specs matches path suffixes (attn/ff linears), so mapping
+          it over the WHOLE TrainState shards params, Adam moments and EMA
+          shadows consistently (parallel/tp.py).
+        - ``trainer.fsdp: true`` — ZeRO-3 over 'data'; composes with TP as 2D
+          weight sharding via fsdp2d_specs (parallel/fsdp.py).
+        Step functions are unchanged either way (GSPMD places collectives).
+        """
+        tcfg = self.config.get("trainer", {})
+        mp = int(tcfg.get("model_parallel", 1) or 1)
+        use_fsdp = bool(tcfg.get("fsdp", False))
+        if mp <= 1 and not use_fsdp:
+            return mesh_lib.replicate(state, self.mesh)
+
+        from bcosification_tpu.parallel import fsdp as fsdp_lib
+        from bcosification_tpu.parallel import tp as tp_lib
+
+        min_size = int(tcfg.get("fsdp_min_size", fsdp_lib.MIN_LEAF_SIZE))
+        if mp > 1:
+            specs = tp_lib.tp_param_specs(state)
+            if use_fsdp:
+                specs = fsdp_lib.fsdp2d_specs(
+                    state, self.mesh, specs, min_size=min_size
+                )
+        else:
+            specs = fsdp_lib.fsdp_state_specs(state, self.mesh, min_size=min_size)
+        return fsdp_lib.shard_state(state, self.mesh, specs)
         for lg in self.loggers:
             lg.log_hparams(self.config)
 

@@ -181,6 +181,51 @@ def test_trainer_fsdp_matches_replicated(tmp_path):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7, err_msg=k)
 
 
+def test_trainer_tp_matches_replicated(tmp_path):
+    """trainer.model_parallel: 4 shards ViT attn/MLP weights (+ their Adam
+    moments and EMA shadows, path-suffix matched) over 'model'; training
+    trajectories must equal the replicated run."""
+    import gzip
+    import json
+
+    from bcosification_tpu.models import vit as vit_lib
+
+    def run(root, mp, fsdp=False):
+        model = vit_lib.SimpleViT(
+            image_size=8, patch_size=4, num_classes=4, dim=32, depth=1,
+            heads=4, mlp_dim=64,
+        )
+        dm = SynthDataModule()
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.asarray(dm.images[:1]), train=True
+        )
+        exp = _fake_experiment(root)
+        exp.config["trainer"]["model_parallel"] = mp
+        exp.config["trainer"]["fsdp"] = fsdp
+        exp.config["trainer"]["fsdp_min_size"] = 1024  # tiny test weights
+        trainer = Trainer(exp)
+        state = trainer.fit(model, variables, dm, max_epochs=2)
+        specs = {
+            str(getattr(l.sharding, "spec", ""))
+            for l in jax.tree_util.tree_leaves(state.params)
+        }
+        with gzip.open(exp.save_dir / "metrics" / "metrics.json.gz", "rt") as f:
+            return json.load(f), specs
+
+    h_rep, rep_specs = run(tmp_path / "rep", 1)
+    h_tp, tp_specs = run(tmp_path / "tp", 4)
+    h_2d, d2_specs = run(tmp_path / "2d", 4, fsdp=True)
+    assert not any("model" in s for s in rep_specs)
+    assert any("model" in s for s in tp_specs)
+    # 2D: at least one weight carries BOTH axes (TP dim + FSDP dim)
+    assert any("model" in s and "data" in s for s in d2_specs), d2_specs
+    for k in ("train_loss", "val_acc1"):
+        a = [v for _, v in h_rep[k]]
+        for h in (h_tp, h_2d):
+            b = [v for _, v in h[k]]
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6, err_msg=k)
+
+
 def test_eval_deterministic(tmp_path):
     """evaluate.py:74-75 determinism contract: identical logits across runs."""
     model = TinyNet()
