@@ -291,18 +291,37 @@ class Trainer:
                     csv=False,
                 )
 
+        # --profile_dir: capture a jax.profiler device trace of steps 3-8 of
+        # the first trained epoch (post-compile, pre-steady-state-noise) —
+        # the TPU-native replacement for the reference's tqdm-rate-only
+        # observability (SURVEY §5); view with TensorBoard/XProf
+        profile_dir = self.args.get("profile_dir")
+        profile_window = (3, 8) if profile_dir and self._io_process else None
+
         for epoch in range(start_epoch, max_epochs):
             t0 = time.time()
             train_loader.set_epoch(epoch)
             losses, accs, n_steps = [], [], 0
             for batch in train_loader:
                 batch = mesh_lib.shard_batch(batch, self.mesh)
+                if profile_window and n_steps == profile_window[0]:
+                    jax.profiler.start_trace(profile_dir)
                 state, metrics = train_step(state, batch)
+                if profile_window and n_steps == profile_window[1]:
+                    jax.block_until_ready(metrics["loss"])
+                    jax.profiler.stop_trace()
+                    print(f"profiler trace written to {profile_dir}")
+                    profile_window = None
                 losses.append(metrics["loss"])
                 accs.append(metrics["acc1"])
                 n_steps += 1
                 if fast_dev_run:
                     break
+            if profile_window and n_steps <= profile_window[1]:
+                # short epoch ended inside the window — close the trace
+                if n_steps > profile_window[0]:
+                    jax.profiler.stop_trace()
+                profile_window = None
             if not losses:
                 print(
                     "WARNING: train loader yielded no batches — dataset "

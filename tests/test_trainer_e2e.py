@@ -226,6 +226,21 @@ def test_trainer_tp_matches_replicated(tmp_path):
             np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6, err_msg=k)
 
 
+def test_trainer_profile_dir_writes_trace(tmp_path):
+    """--profile_dir captures a jax.profiler device trace during epoch 0."""
+    model = TinyNet()
+    dm = SynthDataModule()
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(dm.images[:1]), train=True
+    )
+    exp = _fake_experiment(tmp_path)
+    prof = tmp_path / "trace"
+    trainer = Trainer(exp, {"profile_dir": str(prof)})
+    trainer.fit(model, variables, dm, max_epochs=1)
+    written = list(prof.rglob("*"))
+    assert any(p.is_file() for p in written), written
+
+
 def test_eval_deterministic(tmp_path):
     """evaluate.py:74-75 determinism contract: identical logits across runs."""
     model = TinyNet()

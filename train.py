@@ -63,6 +63,11 @@ def get_parser():
     parser.add_argument("--debug", action="store_true")
     parser.add_argument("--track_grad_norm", action="store_true")
     parser.add_argument(
+        "--profile_dir", default=None,
+        help="capture a jax.profiler device trace of steps 3-8 of the first "
+        "epoch into this directory (TensorBoard/XProf viewable)",
+    )
+    parser.add_argument(
         "--force-no-resume",
         dest="resume",
         default=True,  # resume by default, exactly like the reference
