@@ -134,6 +134,41 @@ def test_build_csv(tmp_path):
     assert "acc1" in content and "RN50 openai" in content
 
 
+def test_bleu_differential_vs_nltk():
+    """Independent oracle: our corpus BLEU (pycocoevalcap semantics: clipped
+    n-gram precision + closest-ref brevity penalty) must equal nltk's
+    corpus_bleu exactly wherever every order has nonzero overlap. (BLEU-4
+    with zero 4-gram overlap intentionally differs: pycocoevalcap floors the
+    precision with a tiny epsilon while nltk hard-zeros.)"""
+    nltk_bleu = pytest.importorskip("nltk.translate.bleu_score")
+
+    from clip_benchmark.metrics.captioning import bleu_scores
+
+    cands = [
+        "a brown dog runs across the green field".split(),
+        "two people are riding bicycles near the beach".split(),
+        "a cat sits on a red chair".split(),
+        "the group stands around a large wooden table".split(),
+        # one candidate with 4-gram overlap so every order is nonzero
+        "several people gather at a wooden table near the window".split(),
+    ]
+    refs = [
+        ["a dog runs across a field".split(),
+         "the brown dog sprints over the grass".split()],
+        ["people ride bikes by the sea".split(),
+         "two cyclists near a beach".split()],
+        ["a cat is sitting on the chair".split(),
+         "a red chair with a cat on it".split()],
+        ["several people gather at a wooden table".split(),
+         "the group stands by the table".split()],
+        ["several people gather at a wooden table".split()],
+    ]
+    ours = bleu_scores(cands, refs)
+    for n in range(1, 5):
+        want = nltk_bleu.corpus_bleu(refs, cands, weights=tuple([1.0 / n] * n))
+        np.testing.assert_allclose(ours[n - 1], want, rtol=1e-9, err_msg=f"BLEU-{n}")
+
+
 def test_captioning_scorers_perfect_match():
     from clip_benchmark.metrics.captioning import (
         bleu_scores, cider_d, ptb_tokenize, rouge_l,
