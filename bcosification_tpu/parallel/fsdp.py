@@ -49,23 +49,32 @@ __all__ = [
 MIN_LEAF_SIZE = 2**13
 
 
-def fsdp_spec_for_shape(
-    shape, n_shards: int, min_size: int = MIN_LEAF_SIZE
-) -> P:
-    """PartitionSpec sharding the largest n_shards-divisible axis over 'data'.
+def _best_axis(shape, n_shards: int, assigned=None):
+    """Largest n_shards-divisible axis not already assigned; None if none.
 
     Ties break toward the LAST such axis: for conv kernels (HWIO) and linear
     weights (in, out) that is the output-feature axis, which keeps each shard
     a contiguous block of output channels (cheap concatenation order for the
     all-gather).
     """
-    if int(np.prod(shape)) < min_size:
-        return P()
     best = None
     for ax, dim in enumerate(shape):
+        if assigned is not None and assigned[ax] is not None:
+            continue
         if dim % n_shards == 0 and dim >= n_shards:
             if best is None or dim >= shape[best]:
                 best = ax
+    return best
+
+
+def fsdp_spec_for_shape(
+    shape, n_shards: int, min_size: int = MIN_LEAF_SIZE
+) -> P:
+    """PartitionSpec sharding the largest n_shards-divisible axis over 'data'
+    (see _best_axis for the tie-break)."""
+    if int(np.prod(shape)) < min_size:
+        return P()
+    best = _best_axis(shape, n_shards)
     if best is None:
         return P()
     spec = [None] * len(shape)
@@ -106,11 +115,7 @@ def fsdp2d_specs(
         if int(np.prod(shape)) < min_size:
             return spec
         assigned = list(spec) + [None] * (len(shape) - len(spec))
-        best = None
-        for ax, dim in enumerate(shape):
-            if assigned[ax] is None and dim % n == 0 and dim >= n:
-                if best is None or dim >= shape[best]:
-                    best = ax
+        best = _best_axis(shape, n, assigned)
         if best is None:
             return spec
         assigned[best] = DATA_AXIS

@@ -109,6 +109,8 @@ class Trainer:
         # still tracked everywhere (it's cheap and keeps behaviour identical)
         self._io_process = mesh_lib.is_main_process()
         self.loggers = setup_loggers(self.args, self.save_dir) if self._io_process else []
+        for lg in self.loggers:
+            lg.log_hparams(self.config)
 
     def _place_state(self, state):
         """Place the TrainState on the mesh (beyond-reference scale-out; the
@@ -141,8 +143,19 @@ class Trainer:
         else:
             specs = fsdp_lib.fsdp_state_specs(state, self.mesh, min_size=min_size)
         return fsdp_lib.shard_state(state, self.mesh, specs)
-        for lg in self.loggers:
-            lg.log_hparams(self.config)
+
+    def _host_state(self, tree):
+        """device_get that is safe for FSDP/TP-sharded state on multi-host
+        meshes: shards then span non-addressable devices, so first gather to
+        fully replicated (a jitted identity with replicated out_shardings —
+        an all-gather over ICI that every process participates in), then
+        fetch. Single-process meshes skip the gather (all shards local)."""
+        if jax.process_count() > 1:
+            rep = jax.sharding.NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec()
+            )
+            tree = jax.jit(lambda t: t, out_shardings=rep)(tree)
+        return jax.device_get(tree)
 
     @staticmethod
     def param_hash(tree) -> str:
@@ -294,9 +307,19 @@ class Trainer:
         # --profile_dir: capture a jax.profiler device trace of steps 3-8 of
         # the first trained epoch (post-compile, pre-steady-state-noise) —
         # the TPU-native replacement for the reference's tqdm-rate-only
-        # observability (SURVEY §5); view with TensorBoard/XProf
+        # observability (SURVEY §5); view with TensorBoard/XProf. Epochs
+        # shorter than the window (incl. --fast_dev_run's single step) clamp
+        # it so a trace is always produced — then it includes compilation.
         profile_dir = self.args.get("profile_dir")
-        profile_window = (3, 8) if profile_dir and self._io_process else None
+        profile_window = None
+        if profile_dir and self._io_process:
+            last = 0 if fast_dev_run else max(steps_per_epoch - 1, 0)
+            profile_window = (min(3, last), min(8, last))
+            if profile_window[0] < 3:
+                print(
+                    f"profiler: short epoch — tracing steps "
+                    f"{profile_window[0]}-{profile_window[1]} incl. compile"
+                )
 
         for epoch in range(start_epoch, max_epochs):
             t0 = time.time()
@@ -318,9 +341,13 @@ class Trainer:
                 if fast_dev_run:
                     break
             if profile_window and n_steps <= profile_window[1]:
-                # short epoch ended inside the window — close the trace
+                # epoch ended inside the window (ragged loader) — close the
+                # trace after draining in-flight steps so device ops land
                 if n_steps > profile_window[0]:
+                    if losses:
+                        jax.block_until_ready(losses[-1])
                     jax.profiler.stop_trace()
+                    print(f"profiler trace written to {profile_dir}")
                 profile_window = None
             if not losses:
                 print(
@@ -344,7 +371,7 @@ class Trainer:
                 epoch_metrics.update({f"{k}_ema": v for k, v in ema_metrics.items()})
 
             self._log_metrics(epoch, epoch_metrics)
-            self.ckpt.save(jax.device_get(state), epoch, epoch_metrics)
+            self.ckpt.save(self._host_state(state), epoch, epoch_metrics)
             print(
                 f"epoch {epoch}: loss {train_loss:.4f} acc {train_acc:.4f} "
                 f"val_acc1 {val_metrics.get('val_acc1', float('nan')):.4f} "
@@ -476,7 +503,7 @@ class Trainer:
             zs = self._maybe_zeroshot(model, state, text_model, text_vars)
             epoch_metrics.update(zs)
             self._log_metrics(epoch, epoch_metrics)
-            self.ckpt.save(jax.device_get(state), epoch, epoch_metrics)
+            self.ckpt.save(self._host_state(state), epoch, epoch_metrics)
             print(
                 f"epoch {epoch}: kd loss {train_loss:.4f} val {val_loss:.4f} "
                 f"({epoch_metrics['epoch_time_s']:.1f}s)"
@@ -601,8 +628,8 @@ class Trainer:
         x = jnp.asarray(batch["image"][:n_images])
         explain_fn = make_explain_fn(model)
         res = explain_fn(
-            {"params": jax.device_get(state.params),
-             "batch_stats": jax.device_get(state.batch_stats)},
+            {"params": self._host_state(state.params),
+             "batch_stats": self._host_state(state.batch_stats)},
             x,
         )
         outdir = self.save_dir / "explanations"
