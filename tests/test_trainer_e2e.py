@@ -96,12 +96,16 @@ def test_trainer_fit_and_resume(tmp_path):
     variables = model.init(jax.random.PRNGKey(0), x0, train=True)
 
     exp = _fake_experiment(tmp_path)
-    trainer = Trainer(exp)
+    trainer = Trainer(exp, {"tensorboard_logger": True})
     state = trainer.fit(model, variables, dm, max_epochs=2)
     assert int(state.step) == 2 * 4  # 2 epochs x 4 batches
 
     # metrics persisted
     assert (exp.save_dir / "metrics.csv").exists()
+    # hparams recorded by the logger backend at construction (regression:
+    # a method insertion once orphaned this into unreachable code)
+    hparam_files = list(exp.save_dir.rglob("hparams.json"))
+    assert hparam_files, "no logger wrote hparams.json"
     metrics = trainer.experiment if False else None
     assert trainer.ckpt.available_checkpoints(), "checkpoints saved"
 
