@@ -1,0 +1,90 @@
+"""bench.py multi-process sampler logic (no TPU): best-child selection,
+timeout => stop spawning + non-zero exit (never an untimed fallback),
+fast-failure => safe in-process fallback."""
+import json
+import subprocess
+import sys
+import types
+
+import pytest
+
+
+def _load_bench(monkeypatch):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("bench_under_test", "/root/repo/bench.py")
+    mod = importlib.util.module_from_spec(spec)
+    # bench.py imports jax at module level; that's fine on CPU-pinned test env
+    spec.loader.exec_module(mod)
+    return mod
+
+
+class _Out:
+    def __init__(self, stdout="", rc=0):
+        self.stdout = stdout
+        self.stderr = ""
+        self.returncode = rc
+
+
+def _line(v):
+    return json.dumps(
+        {"metric": "m", "value": v, "unit": "img/s/chip", "vs_baseline": v / 5000}
+    )
+
+
+def test_best_child_wins(monkeypatch, capsys):
+    bench = _load_bench(monkeypatch)
+    vals = iter([4100.0, 4600.0, 4050.0])
+
+    def fake_run(*a, **k):
+        return _Out(stdout="# noise\n" + _line(next(vals)) + "\n")
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    bench._multiproc_main(3)
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    rec = json.loads(out)
+    assert rec["value"] == 4600.0
+    assert rec["procs_sampled"] == 3
+
+
+def test_timeout_stops_spawning_and_exits_nonzero(monkeypatch, capsys):
+    bench = _load_bench(monkeypatch)
+    calls = {"n": 0}
+
+    def fake_run(*a, **k):
+        calls["n"] += 1
+        raise subprocess.TimeoutExpired(cmd="bench", timeout=1)
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    ran_main = {"v": False}
+    monkeypatch.setattr(bench, "main", lambda: ran_main.__setitem__("v", True))
+    with pytest.raises(SystemExit) as e:
+        bench._multiproc_main(3)
+    assert e.value.code == 1
+    assert calls["n"] == 1, "kept poking a possibly-wedged chip"
+    assert not ran_main["v"], "untimed in-process fallback after a timeout"
+
+
+def test_timeout_after_success_reports_best_so_far(monkeypatch, capsys):
+    bench = _load_bench(monkeypatch)
+    seq = iter(["ok", "timeout"])
+
+    def fake_run(*a, **k):
+        if next(seq) == "ok":
+            return _Out(stdout=_line(4200.0) + "\n")
+        raise subprocess.TimeoutExpired(cmd="bench", timeout=1)
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    bench._multiproc_main(3)
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["value"] == 4200.0
+    assert rec["procs_sampled"] == 1
+
+
+def test_fast_failures_fall_back_in_process(monkeypatch):
+    bench = _load_bench(monkeypatch)
+    monkeypatch.setattr(subprocess, "run", lambda *a, **k: _Out(rc=3))
+    ran_main = {"v": False}
+    monkeypatch.setattr(bench, "main", lambda: ran_main.__setitem__("v", True))
+    bench._multiproc_main(2)
+    assert ran_main["v"], "non-timeout child failures should fall back safely"
