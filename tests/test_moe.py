@@ -180,3 +180,16 @@ def test_moe_expert_parallel_matches_unsharded(rng):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6
     )
+
+    # gradients under expert parallelism match the unsharded gradients
+    def loss(p, x):
+        return jnp.sum(moe.apply({"params": p}, x) ** 2)
+
+    g_ref = jax.jit(jax.grad(loss))(params, x)
+    g_ep = jax.jit(jax.grad(loss))(p_ep, x_sh)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-5, atol=5e-6
+        ),
+        jax.device_get(g_ref), jax.device_get(g_ep),
+    )
