@@ -111,6 +111,8 @@ class Trainer:
         self.loggers = setup_loggers(self.args, self.save_dir) if self._io_process else []
         for lg in self.loggers:
             lg.log_hparams(self.config)
+        # per-step event logging cadence (PL's log_every_n_steps default)
+        self._log_every_n_steps = int(self.args.get("log_every_n_steps", 50) or 50)
 
     def _place_state(self, state):
         """Place the TrainState on the mesh (beyond-reference scale-out; the
@@ -338,6 +340,18 @@ class Trainer:
                 losses.append(metrics["loss"])
                 accs.append(metrics["acc1"])
                 n_steps += 1
+                # per-step event-stream logging (PL's log_every_n_steps=50
+                # default, ref trainer logs train loss on_step) — the float()
+                # fetch syncs the device, so only every N steps
+                if self.loggers and n_steps % self._log_every_n_steps == 0:
+                    gstep = epoch * steps_per_epoch + n_steps
+                    step_metrics = {
+                        "train_loss_step": float(metrics["loss"]),
+                        "lr": float(schedule(state.step))
+                        if callable(schedule) else schedule,
+                    }
+                    for lg in self.loggers:
+                        lg.log_metrics(step_metrics, step=gstep)
                 if fast_dev_run:
                     break
             if profile_window and n_steps <= profile_window[1]:

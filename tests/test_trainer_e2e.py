@@ -230,6 +230,41 @@ def test_trainer_tp_matches_replicated(tmp_path):
             np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6, err_msg=k)
 
 
+def test_trainer_per_step_logging(tmp_path):
+    """log_every_n_steps: per-step train_loss/lr events reach the loggers at
+    the configured cadence with monotonically increasing global steps."""
+    model = TinyNet()
+    dm = SynthDataModule()
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(dm.images[:1]), train=True
+    )
+    exp = _fake_experiment(tmp_path)
+    trainer = Trainer(exp, {"log_every_n_steps": 2})
+
+    records = []
+
+    class Rec:
+        def log_metrics(self, metrics, step):
+            records.append((step, dict(metrics)))
+
+        def log_image(self, *a, **k):
+            pass
+
+        def log_hparams(self, *a, **k):
+            pass
+
+        def finalize(self):
+            pass
+
+    trainer.loggers = [Rec()]
+    trainer.fit(model, variables, dm, max_epochs=2)
+    step_events = [(s, m) for s, m in records if "train_loss_step" in m]
+    # 4 batches/epoch, cadence 2 -> steps 2,4 then 6,8
+    assert [s for s, _ in step_events] == [2, 4, 6, 8], step_events
+    assert all(np.isfinite(m["train_loss_step"]) for _, m in step_events)
+    assert all("lr" in m for _, m in step_events)
+
+
 def test_trainer_profile_dir_writes_trace(tmp_path):
     """--profile_dir captures a jax.profiler device trace during epoch 0."""
     model = TinyNet()

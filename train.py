@@ -63,6 +63,10 @@ def get_parser():
     parser.add_argument("--debug", action="store_true")
     parser.add_argument("--track_grad_norm", action="store_true")
     parser.add_argument(
+        "--log_every_n_steps", type=int, default=50,
+        help="per-step train-loss/lr event logging cadence (PL default 50)",
+    )
+    parser.add_argument(
         "--profile_dir", default=None,
         help="capture a jax.profiler device trace of steps 3-8 of the first "
         "epoch into this directory (TensorBoard/XProf viewable)",
