@@ -494,6 +494,11 @@ class Trainer:
                 batch = mesh_lib.shard_batch(batch, self.mesh)
                 state, metrics = train_step(state, batch)
                 losses.append(metrics["loss"])
+                # per-step events matter most here: CC3M KD epochs are hours
+                if self.loggers and len(losses) % self._log_every_n_steps == 0:
+                    step_metrics = {"train_loss_step": float(metrics["loss"])}
+                    for lg in self.loggers:
+                        lg.log_metrics(step_metrics, step=int(state.step))
                 if fast_dev_run:
                     break
             train_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
