@@ -693,6 +693,14 @@ def run_training(args) -> None:
     experiment = Experiment(args.dataset, args.base_network, args.experiment_name)
     np.random.seed(experiment.config.get("seed", 42) or 42)
 
+    # fold scale-out CLI flags into the trainer config (the reference's
+    # put_trainer_args_into_trainer_config pattern, ref trainer.py:915-933)
+    tcfg = experiment.config.setdefault("trainer", {})
+    if getattr(args, "fsdp", False):
+        tcfg["fsdp"] = True
+    if int(getattr(args, "model_parallel", 1) or 1) > 1:
+        tcfg["model_parallel"] = int(args.model_parallel)
+
     model, variables = experiment.get_model()
     datamodule = experiment.get_datamodule(
         cache_dataset=getattr(args, "cache_dataset", None)

@@ -63,6 +63,15 @@ def get_parser():
     parser.add_argument("--debug", action="store_true")
     parser.add_argument("--track_grad_norm", action="store_true")
     parser.add_argument(
+        "--fsdp", action="store_true",
+        help="shard params/moments/EMA over the data axis (ZeRO-3; "
+        "beyond-reference, docs/SCALING.md)",
+    )
+    parser.add_argument(
+        "--model_parallel", type=int, default=1,
+        help="Megatron TP degree over the 'model' mesh axis (beyond-reference)",
+    )
+    parser.add_argument(
         "--log_every_n_steps", type=int, default=50,
         help="per-step train-loss/lr event logging cadence (PL default 50)",
     )
