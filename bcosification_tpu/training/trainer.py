@@ -111,8 +111,11 @@ class Trainer:
         self.loggers = setup_loggers(self.args, self.save_dir) if self._io_process else []
         for lg in self.loggers:
             lg.log_hparams(self.config)
-        # per-step event logging cadence (PL's log_every_n_steps default)
-        self._log_every_n_steps = int(self.args.get("log_every_n_steps", 50) or 50)
+        # per-step event logging cadence (PL's log_every_n_steps default);
+        # 0 or negative disables the per-step device syncs entirely
+        n = self.args.get("log_every_n_steps", 50)
+        self._log_every_n_steps = int(n) if n is not None and int(n) > 0 else 0
+        self._gather_fn = None  # cached jitted all-gather, built on first use
 
     def _place_state(self, state):
         """Place the TrainState on the mesh (beyond-reference scale-out; the
@@ -153,10 +156,17 @@ class Trainer:
         an all-gather over ICI that every process participates in), then
         fetch. Single-process meshes skip the gather (all shards local)."""
         if jax.process_count() > 1:
-            rep = jax.sharding.NamedSharding(
-                self.mesh, jax.sharding.PartitionSpec()
-            )
-            tree = jax.jit(lambda t: t, out_shardings=rep)(tree)
+            if self._gather_fn is None:
+                rep = jax.sharding.NamedSharding(
+                    self.mesh, jax.sharding.PartitionSpec()
+                )
+                # cache the jitted identity so each checkpoint save reuses
+                # one compiled gather instead of re-tracing a fresh lambda.
+                # NOTE: this replicates the full state on every device for
+                # the duration of the fetch — the simple/robust choice; a
+                # per-leaf chunked gather would cap the transient memory.
+                self._gather_fn = jax.jit(lambda t: t, out_shardings=rep)
+            tree = self._gather_fn(tree)
         return jax.device_get(tree)
 
     @staticmethod
@@ -180,7 +190,18 @@ class Trainer:
         return bool(margs.get("clip_kd", False))
 
     # -- logging ---------------------------------------------------------------
-    def _log_metrics(self, epoch: int, metrics: Dict[str, float], csv: bool = True):
+    def _log_metrics(
+        self,
+        epoch: int,
+        metrics: Dict[str, float],
+        csv: bool = True,
+        logger_step: Optional[int] = None,
+    ):
+        """Record epoch metrics. ``logger_step``: global-step index for the
+        event-stream backends — MUST share the per-step events' step domain
+        (wandb drops lower-step logs, TB charts garble when 'lr' is written
+        at both epoch and step indices); falls back to epoch when no per-step
+        logging happens."""
         for k, v in metrics.items():
             self.metrics_history.setdefault(k, []).append((epoch, float(v)))
         if not self._io_process:
@@ -199,7 +220,7 @@ class Trainer:
                 f.write("epoch," + ",".join(keys) + "\n")
             f.write(f"{epoch}," + ",".join(f"{metrics[k]:.6f}" for k in keys) + "\n")
         for lg in self.loggers:
-            lg.log_metrics(metrics, step=epoch)
+            lg.log_metrics(metrics, step=epoch if logger_step is None else logger_step)
 
     # -- main loop ---------------------------------------------------------------
     def fit(
@@ -343,7 +364,8 @@ class Trainer:
                 # per-step event-stream logging (PL's log_every_n_steps=50
                 # default, ref trainer logs train loss on_step) — the float()
                 # fetch syncs the device, so only every N steps
-                if self.loggers and n_steps % self._log_every_n_steps == 0:
+                if (self.loggers and self._log_every_n_steps
+                        and n_steps % self._log_every_n_steps == 0):
                     gstep = epoch * steps_per_epoch + n_steps
                     step_metrics = {
                         "train_loss_step": float(metrics["loss"]),
@@ -384,7 +406,10 @@ class Trainer:
                 ema_metrics = self.validate(eval_step_ema, state, datamodule)
                 epoch_metrics.update({f"{k}_ema": v for k, v in ema_metrics.items()})
 
-            self._log_metrics(epoch, epoch_metrics)
+            self._log_metrics(
+                epoch, epoch_metrics,
+                logger_step=(epoch + 1) * steps_per_epoch,
+            )
             self.ckpt.save(self._host_state(state), epoch, epoch_metrics)
             print(
                 f"epoch {epoch}: loss {train_loss:.4f} acc {train_acc:.4f} "
@@ -484,6 +509,13 @@ class Trainer:
             t = t_feat / (jnp.linalg.norm(t_feat, axis=-1, keepdims=True) + 1e-8)
             return SigLipLoss()(s, t, 10.0, -10.0)
 
+        # --profile_dir works here too (wds loaders may not expose a length,
+        # so the window is closed at epoch end if the loader runs short)
+        profile_dir = self.args.get("profile_dir")
+        profile_window = None
+        if profile_dir and self._io_process:
+            profile_window = (0, 0) if fast_dev_run else (3, 8)
+
         for epoch in range(start_epoch, max_epochs):
             t0 = time.time()
             if hasattr(train_loader, "set_epoch"):
@@ -492,15 +524,31 @@ class Trainer:
             for batch in train_loader:
                 batch = {"image": batch["image"]}
                 batch = mesh_lib.shard_batch(batch, self.mesh)
+                if profile_window and len(losses) == profile_window[0]:
+                    jax.profiler.start_trace(profile_dir)
                 state, metrics = train_step(state, batch)
+                if profile_window and len(losses) == profile_window[1]:
+                    jax.block_until_ready(metrics["loss"])
+                    jax.profiler.stop_trace()
+                    print(f"profiler trace written to {profile_dir}")
+                    profile_window = None
                 losses.append(metrics["loss"])
                 # per-step events matter most here: CC3M KD epochs are hours
-                if self.loggers and len(losses) % self._log_every_n_steps == 0:
+                if (self.loggers and self._log_every_n_steps
+                        and len(losses) % self._log_every_n_steps == 0):
                     step_metrics = {"train_loss_step": float(metrics["loss"])}
                     for lg in self.loggers:
                         lg.log_metrics(step_metrics, step=int(state.step))
                 if fast_dev_run:
                     break
+            if profile_window and len(losses) <= profile_window[1]:
+                # epoch ended inside the window — close after draining
+                if len(losses) > profile_window[0]:
+                    if losses:
+                        jax.block_until_ready(losses[-1])
+                    jax.profiler.stop_trace()
+                    print(f"profiler trace written to {profile_dir}")
+                profile_window = None
             train_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
 
             val_losses, n = [], 0
@@ -521,7 +569,7 @@ class Trainer:
             }
             zs = self._maybe_zeroshot(model, state, text_model, text_vars)
             epoch_metrics.update(zs)
-            self._log_metrics(epoch, epoch_metrics)
+            self._log_metrics(epoch, epoch_metrics, logger_step=int(state.step))
             self.ckpt.save(self._host_state(state), epoch, epoch_metrics)
             print(
                 f"epoch {epoch}: kd loss {train_loss:.4f} val {val_loss:.4f} "
@@ -636,6 +684,13 @@ class Trainer:
         val images -> explanation-mode RGBA maps saved under explanations/."""
         from bcosification_tpu.explain.core import make_explain_fn
 
+        # SPMD: the sharded->host gather inside _host_state is a collective
+        # EVERY process must join — run it before the io-process-only return
+        # (skipping it on non-io processes would deadlock a multi-host pod)
+        host_vars = {
+            "params": self._host_state(state.params),
+            "batch_stats": self._host_state(state.batch_stats),
+        }
         if not self._io_process:
             return
 
@@ -646,11 +701,7 @@ class Trainer:
             return
         x = jnp.asarray(batch["image"][:n_images])
         explain_fn = make_explain_fn(model)
-        res = explain_fn(
-            {"params": self._host_state(state.params),
-             "batch_stats": self._host_state(state.batch_stats)},
-            x,
-        )
+        res = explain_fn(host_vars, x)
         outdir = self.save_dir / "explanations"
         outdir.mkdir(exist_ok=True)
         np.savez_compressed(

@@ -43,6 +43,46 @@ def main(out_path="explanation.png"):
     rgb = np.random.default_rng(0).random((1, 224, 224, 3), dtype=np.float32)
     x = jnp.asarray(AddInverse()(rgb))
 
+    # random-init b=2 stacks CONTRACT (|cos|-scales < 1 at every layer), so a
+    # fresh model emits ~1e-20 logits and the rendered map would be alpha-floor
+    # noise. Calibrate the BN gammas until logits are O(1) — the same pattern
+    # the test oracles use. With real pretrained weights, skip this.
+    def scale_gammas(vars_, factor):
+        def f(path, leaf):
+            keys = [str(getattr(p, "key", p)) for p in path]
+            return leaf * factor if keys[-1] == "weight" and leaf.ndim == 1 else leaf
+
+        return dict(vars_, params=jax.tree_util.tree_map_with_path(f, vars_["params"]))
+
+    import math
+
+    def n_gamma_leaves(vars_):
+        return sum(
+            1
+            for path, leaf in jax.tree_util.tree_leaves_with_path(vars_["params"])
+            if str(getattr(path[-1], "key", path[-1])) == "weight" and leaf.ndim == 1
+        )
+
+    fwd = jax.jit(lambda v, x: net.apply(v, x, train=False))
+    logit_bias = -math.log(1000 - 1)  # LogitLayer offset; measure NET of it
+    # a fresh b=2 RN50 contracts so hard the fp32 logits underflow to exact 0:
+    # bootstrap with x2-per-gamma rounds (x2^53 overall) until measurable...
+    mag = float(jnp.abs(fwd(variables, x) - logit_bias).max())
+    for _ in range(8):
+        if mag > 0.0:
+            break
+        variables = scale_gammas(variables, 2.0)
+        mag = float(jnp.abs(fwd(variables, x) - logit_bias).max())
+    # ...then solve: the net is (approximately) 1-homogeneous in each
+    # per-layer gamma, so a common factor f over n layers scales logits ~f^n
+    for _ in range(10):
+        if 0.5 < mag < 50.0:
+            break
+        f = (5.0 / mag) ** (1.0 / n_gamma_leaves(variables))
+        variables = scale_gammas(variables, f)
+        mag = float(jnp.abs(fwd(variables, x) - logit_bias).max())
+    print(f"calibrated |logit - bias| magnitude: {mag:.3g}")
+
     explain_fn = explain.make_explain_fn(net)  # jitted fused fwd+VJP
     out = explain_fn(variables, x)
     cls = int(out["prediction"][0])
