@@ -1,0 +1,77 @@
+"""Property tests for the captioning scorers on random corpora, plus a
+brute-force LCS oracle for ROUGE-L's dynamic program (a genuinely
+independent algorithm, not a transcription)."""
+import functools
+import random
+
+import numpy as np
+import pytest
+
+from clip_benchmark.metrics.captioning import _lcs, cider_d, rouge_l
+
+VOCAB = "a b c dog cat runs sits red blue table park big small".split()
+
+
+def _rand_tokens(rng, lo=1, hi=12):
+    return [rng.choice(VOCAB) for _ in range(rng.randint(lo, hi))]
+
+
+def _rand_corpus(rng, n_images=6, n_refs=3):
+    cands = [_rand_tokens(rng) for _ in range(n_images)]
+    refs = [[_rand_tokens(rng) for _ in range(n_refs)] for _ in range(n_images)]
+    return cands, refs
+
+
+def _lcs_bruteforce(a, b):
+    @functools.lru_cache(maxsize=None)
+    def rec(i, j):
+        if i == len(a) or j == len(b):
+            return 0
+        if a[i] == b[j]:
+            return 1 + rec(i + 1, j + 1)
+        return max(rec(i + 1, j), rec(i, j + 1))
+
+    return rec(0, 0)
+
+
+def test_lcs_matches_bruteforce():
+    rng = random.Random(7)
+    for _ in range(200):
+        a, b = _rand_tokens(rng, 0, 9), _rand_tokens(rng, 0, 9)
+        assert _lcs(a, b) == _lcs_bruteforce(tuple(a), tuple(b)), (a, b)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_scores_bounded_and_permutation_invariant(seed):
+    rng = random.Random(seed)
+    cands, refs = _rand_corpus(rng)
+    r = rouge_l(cands, refs)
+    c = cider_d(cands, refs)
+    assert 0.0 <= r <= 1.0
+    assert 0.0 <= c <= 10.0 + 1e-9
+    # corpus means: reordering images must not change anything
+    perm = list(range(len(cands)))
+    rng.shuffle(perm)
+    cands_p = [cands[i] for i in perm]
+    refs_p = [refs[i] for i in perm]
+    np.testing.assert_allclose(rouge_l(cands_p, refs_p), r, rtol=1e-12)
+    np.testing.assert_allclose(cider_d(cands_p, refs_p), c, rtol=1e-12)
+
+
+def test_rouge_extra_reference_never_hurts():
+    """ROUGE-L takes the max over references, so adding one can't lower it."""
+    rng = random.Random(3)
+    cands, refs = _rand_corpus(rng)
+    base = rouge_l(cands, refs)
+    refs_plus = [rs + [_rand_tokens(rng)] for rs in refs]
+    assert rouge_l(cands, refs_plus) >= base - 1e-12
+
+
+def test_cider_exact_match_dominates():
+    """For each image, the verbatim-reference candidate scores at least as
+    high as any random candidate (same corpus-level idf)."""
+    rng = random.Random(5)
+    _, refs = _rand_corpus(rng, n_images=4)
+    exact = [rs[0] for rs in refs]
+    rand = [_rand_tokens(rng) for _ in refs]
+    assert cider_d(exact, refs) >= cider_d(rand, refs)
