@@ -11,7 +11,7 @@ accuracy, zero-shot / linear-probe CLIP performance, and explanation quality.
 Public surface mirrors `/root/reference/bcos/__init__.py`.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"  # keep in sync with pyproject.toml
 
 
 def __getattr__(name):
