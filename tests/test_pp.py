@@ -54,6 +54,24 @@ def test_pipeline_matches_sequential(rng):
     np.testing.assert_allclose(np.asarray(got8), np.asarray(want), rtol=2e-5, atol=2e-6)
 
 
+def test_pipeline_eight_stages(rng):
+    """Full-width ring: 8 stages on a (data=1, model=8) mesh."""
+    mesh = mesh_lib.make_mesh(model_parallel=8)
+    enc, params = _stages(rng, n_stages=8)
+    x = jnp.asarray(rng.standard_normal((8, 16, 32)).astype(np.float32))
+
+    def stage_fn(p, x):
+        return enc.apply({"params": p}, x, train=False)
+
+    want = x
+    for p in params:
+        want = stage_fn(p, want)
+    got = jax.jit(
+        lambda s, x: pp_lib.pipeline_apply(stage_fn, s, x, mesh, n_microbatches=4)
+    )(pp_lib.stack_stage_params(params), x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6)
+
+
 def test_pipeline_grads_match_sequential(rng):
     mesh = mesh_lib.make_mesh(model_parallel=4)
     enc, params = _stages(rng)
