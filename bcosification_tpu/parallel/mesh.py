@@ -27,18 +27,33 @@ __all__ = [
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+PIPE_AXIS = "pipe"
 
 
 def make_mesh(
     n_devices: Optional[int] = None,
     model_parallel: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
+    pipeline_parallel: int = 1,
 ) -> Mesh:
+    """(data, model) mesh; with ``pipeline_parallel`` > 1, (data, pipe, model).
+
+    The third axis lets GPipe own a ring ('pipe') while TP/SP/EP keep 'model'
+    — the composition docs/SCALING.md describes. Keep 'model' innermost
+    (ICI-nearest on a pod slice): its collectives are per-layer and
+    activation-sized, the pipe hops are once per microbatch tick.
+    """
     devices = list(devices if devices is not None else jax.devices())
     if n_devices is not None:
         devices = devices[:n_devices]
     n = len(devices)
-    assert n % model_parallel == 0, (n, model_parallel)
+    pp = pipeline_parallel
+    assert n % (model_parallel * pp) == 0, (n, model_parallel, pp)
+    if pp > 1:
+        arr = np.asarray(devices).reshape(
+            n // (model_parallel * pp), pp, model_parallel
+        )
+        return Mesh(arr, (DATA_AXIS, PIPE_AXIS, MODEL_AXIS))
     arr = np.asarray(devices).reshape(n // model_parallel, model_parallel)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 

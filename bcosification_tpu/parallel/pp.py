@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from bcosification_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+from bcosification_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, PIPE_AXIS
 
 __all__ = ["stack_stage_params", "pipeline_apply", "pp_size"]
 
@@ -55,7 +55,7 @@ def pipeline_apply(
     mesh: Mesh,
     *,
     n_microbatches: int,
-    axis: str = MODEL_AXIS,
+    axis: str | None = None,
     data_axis: str = DATA_AXIS,
 ) -> jax.Array:
     """Run ``stage_fn`` S times as a pipeline; equals sequential composition.
@@ -65,6 +65,8 @@ def pipeline_apply(
       microbatch size must stay divisible by the 'data' axis (batch stays
       data-sharded throughout).
     """
+    if axis is None:  # ride 'pipe' on a 3-axis mesh, 'model' on the classic one
+        axis = PIPE_AXIS if PIPE_AXIS in mesh.shape else MODEL_AXIS
     S = mesh.shape[axis]
     lead = {l.shape[0] for l in jax.tree_util.tree_leaves(stacked_params)}
     assert lead == {S}, (
@@ -120,15 +122,23 @@ def pipeline_apply(
 
     ndim_rest = xm.ndim - 2
     x_spec = P(None, data_axis, *([None] * ndim_rest))
+    # On a 3-axis (data, pipe, model) mesh, only the pipe ring and the batch
+    # axis are manual — every other axis (TP's 'model') stays automatic, so
+    # GSPMD propagates the stage params' own shardings through stage_fn and
+    # places the TP collectives inside each pipeline tick. On the classic
+    # 2-axis mesh this set covers all axes (== the default all-manual).
+    manual = frozenset(a for a in (axis, data_axis) if a in mesh.shape)
     out = jax.shard_map(
         per_device,
         mesh=mesh,
         in_specs=(P(axis), x_spec),
         out_specs=P(axis, None, data_axis, *([None] * ndim_rest)),
+        axis_names=manual,
     )(stacked_params, xm)
     y = out[S - 1]
     return y.reshape(B, *y.shape[2:])
 
 
 def pp_size(mesh: Mesh) -> int:
-    return mesh.shape[MODEL_AXIS]
+    """Stage count: the 'pipe' axis on a 3-axis mesh, else 'model'."""
+    return mesh.shape.get(PIPE_AXIS) or mesh.shape[MODEL_AXIS]

@@ -91,8 +91,17 @@ class Trainer:
         self.experiment = experiment
         self.config = experiment.config
         self.args = args or {}
-        mp = int(self.config.get("trainer", {}).get("model_parallel", 1) or 1)
-        self.mesh = mesh or mesh_lib.make_mesh(model_parallel=mp)
+        tcfg0 = self.config.get("trainer", {})
+        mp = int(tcfg0.get("model_parallel", 1) or 1)
+        pp = int(tcfg0.get("pipeline_parallel", 1) or 1)
+        # PP alone rides the 'model' axis; PP + TP gets a dedicated 'pipe'
+        # axis (3-axis mesh) so TP keeps 'model' (docs/SCALING.md)
+        if pp > 1 and mp == 1:
+            self.mesh = mesh or mesh_lib.make_mesh(model_parallel=pp)
+        else:
+            self.mesh = mesh or mesh_lib.make_mesh(
+                model_parallel=mp, pipeline_parallel=pp
+            )
         self.save_dir = experiment.save_dir
         self.save_dir.mkdir(parents=True, exist_ok=True)
         monitor = "val_loss" if self._is_clip_kd() else "val_acc1"
@@ -240,6 +249,22 @@ class Trainer:
                 fast_dev_run=fast_dev_run, resume=resume,
             )
         config = self.config
+        pp = int(config.get("trainer", {}).get("pipeline_parallel", 1) or 1)
+        if pp > 1:
+            from bcosification_tpu.models.vit import SimpleViT
+            from bcosification_tpu.parallel.pp_vit import PipelinedViT
+
+            if not isinstance(model, SimpleViT):
+                raise ValueError(
+                    "trainer.pipeline_parallel pipelines SimpleViT encoder "
+                    f"stacks; got {type(model).__name__} — use DP/FSDP/TP for "
+                    "CNN backbones (docs/SCALING.md)"
+                )
+            model = PipelinedViT(
+                model,
+                self.mesh,
+                config.get("trainer", {}).get("pp_microbatches"),
+            )
         max_epochs = max_epochs or config.get("trainer", {}).get("max_epochs", 90)
         datamodule.setup("fit")
         train_loader = datamodule.train_dataloader(seed=config.get("seed", 0) or 0)
@@ -751,6 +776,8 @@ def run_training(args) -> None:
         tcfg["fsdp"] = True
     if int(getattr(args, "model_parallel", 1) or 1) > 1:
         tcfg["model_parallel"] = int(args.model_parallel)
+    if int(getattr(args, "pipeline_parallel", 1) or 1) > 1:
+        tcfg["pipeline_parallel"] = int(args.pipeline_parallel)
 
     model, variables = experiment.get_model()
     datamodule = experiment.get_datamodule(

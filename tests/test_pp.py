@@ -72,6 +72,73 @@ def test_pipeline_eight_stages(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6)
 
 
+def test_pipeline_composes_with_tp_3d(rng):
+    """3D parallelism on one mesh: GPipe rides a dedicated 'pipe' axis (manual
+    ring) while Megatron TP keeps 'model' (left automatic inside shard_map, so
+    GSPMD places the per-block psums inside each pipeline tick) and the batch
+    stays sharded over 'data' — values AND grads equal the sequential,
+    unsharded composition."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from bcosification_tpu.parallel import tp as tp_lib
+
+    mesh = mesh_lib.make_mesh(model_parallel=2, pipeline_parallel=2)
+    assert mesh.shape == {"data": 2, "pipe": 2, "model": 2}
+    assert pp_lib.pp_size(mesh) == 2
+    enc, params = _stages(rng, n_stages=2)
+    x = jnp.asarray(rng.standard_normal((8, 16, 32)).astype(np.float32))
+
+    def stage_fn(p, x):
+        return enc.apply({"params": p}, x, train=False)
+
+    want = x
+    for p in params:
+        want = stage_fn(p, want)
+
+    # stage axis manual over 'pipe' (in_specs), TP over 'model' carried by the
+    # arrays' own shardings (the automatic axis)
+    tp_specs = tp_lib.tp_param_specs(params[0])
+    stacked = jax.tree_util.tree_map(
+        lambda leaf, s: jax.device_put(
+            leaf, NamedSharding(mesh, P(mesh_lib.PIPE_AXIS, *s))
+        ),
+        pp_lib.stack_stage_params(params),
+        tp_specs,
+    )
+    assert any(  # the TP rules actually sharded something
+        "model" in s for s in jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(lambda _, sp: str(sp), params[0], tp_specs)
+        )
+    )
+
+    @jax.jit
+    def run(stacked, x):
+        return pp_lib.pipeline_apply(stage_fn, stacked, x, mesh, n_microbatches=4)
+
+    got = run(stacked, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6)
+
+    def loss_seq(params_list, x):
+        h = x
+        for p in params_list:
+            h = stage_fn(p, h)
+        return jnp.sum(h**2)
+
+    def loss_pp(stacked, x):
+        return jnp.sum(
+            pp_lib.pipeline_apply(stage_fn, stacked, x, mesh, n_microbatches=4) ** 2
+        )
+
+    g_seq = pp_lib.stack_stage_params(jax.jit(jax.grad(loss_seq))(params, x))
+    g_pp = jax.jit(jax.grad(loss_pp))(stacked, x)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-5, atol=5e-6
+        ),
+        jax.device_get(g_seq), jax.device_get(g_pp),
+    )
+
+
 def test_pipeline_grads_match_sequential(rng):
     mesh = mesh_lib.make_mesh(model_parallel=4)
     enc, params = _stages(rng)

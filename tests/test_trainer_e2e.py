@@ -230,6 +230,49 @@ def test_trainer_tp_matches_replicated(tmp_path):
             np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6, err_msg=k)
 
 
+def test_trainer_pp_matches_replicated(tmp_path):
+    """trainer.pipeline_parallel: 4 pipelines the SimpleViT encoder stack
+    (GPipe over 'model'); the training trajectory must equal the plain run."""
+    import gzip
+    import json
+
+    from bcosification_tpu.models import vit as vit_lib
+
+    def run(root, pp):
+        model = vit_lib.SimpleViT(
+            image_size=8, patch_size=4, num_classes=4, dim=32, depth=4,
+            heads=4, mlp_dim=64,
+        )
+        dm = SynthDataModule()
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.asarray(dm.images[:1]), train=True
+        )
+        exp = _fake_experiment(root)
+        exp.config["trainer"]["pipeline_parallel"] = pp
+        trainer = Trainer(exp)
+        trainer.fit(model, variables, dm, max_epochs=2)
+        with gzip.open(exp.save_dir / "metrics" / "metrics.json.gz", "rt") as f:
+            return json.load(f)
+
+    h_rep = run(tmp_path / "rep", 1)
+    h_pp = run(tmp_path / "pp", 4)
+    for k in ("train_loss", "val_acc1"):
+        a = [v for _, v in h_rep[k]]
+        b = [v for _, v in h_pp[k]]
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6, err_msg=k)
+
+    # a CNN backbone is rejected loudly (PP pipelines SimpleViT stacks only)
+    exp = _fake_experiment(tmp_path / "cnn")
+    exp.config["trainer"]["pipeline_parallel"] = 4
+    model = TinyNet()
+    dm = SynthDataModule()
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(dm.images[:1]), train=True
+    )
+    with pytest.raises(ValueError, match="SimpleViT"):
+        Trainer(exp).fit(model, variables, dm, max_epochs=1)
+
+
 def test_trainer_per_step_logging(tmp_path):
     """log_every_n_steps: per-step train_loss/lr events reach the loggers at
     the configured cadence with monotonically increasing global steps."""

@@ -72,6 +72,12 @@ def get_parser():
         help="Megatron TP degree over the 'model' mesh axis (beyond-reference)",
     )
     parser.add_argument(
+        "--pipeline_parallel", type=int, default=1,
+        help="GPipe stages for SimpleViT encoder stacks (beyond-reference; "
+        "rides 'model', or a dedicated 'pipe' axis when combined with "
+        "--model_parallel — docs/SCALING.md)",
+    )
+    parser.add_argument(
         "--log_every_n_steps", type=int, default=50,
         help="per-step train-loss/lr event logging cadence (PL default 50)",
     )
