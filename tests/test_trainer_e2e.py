@@ -238,7 +238,7 @@ def test_trainer_pp_matches_replicated(tmp_path):
 
     from bcosification_tpu.models import vit as vit_lib
 
-    def run(root, pp):
+    def run(root, pp, mp=1):
         model = vit_lib.SimpleViT(
             image_size=8, patch_size=4, num_classes=4, dim=32, depth=4,
             heads=4, mlp_dim=64,
@@ -249,6 +249,8 @@ def test_trainer_pp_matches_replicated(tmp_path):
         )
         exp = _fake_experiment(root)
         exp.config["trainer"]["pipeline_parallel"] = pp
+        if mp > 1:
+            exp.config["trainer"]["model_parallel"] = mp
         trainer = Trainer(exp)
         trainer.fit(model, variables, dm, max_epochs=2)
         with gzip.open(exp.save_dir / "metrics" / "metrics.json.gz", "rt") as f:
@@ -256,10 +258,14 @@ def test_trainer_pp_matches_replicated(tmp_path):
 
     h_rep = run(tmp_path / "rep", 1)
     h_pp = run(tmp_path / "pp", 4)
+    # full 3D through the trainer: dp=2 x pipe=2 x model=2 (TP-sharded
+    # state, GPipe stages, data-sharded batches) — same trajectory
+    h_3d = run(tmp_path / "3d", 2, mp=2)
     for k in ("train_loss", "val_acc1"):
         a = [v for _, v in h_rep[k]]
-        b = [v for _, v in h_pp[k]]
-        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6, err_msg=k)
+        for h in (h_pp, h_3d):
+            b = [v for _, v in h[k]]
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6, err_msg=k)
 
     # a CNN backbone is rejected loudly (PP pipelines SimpleViT stacks only)
     exp = _fake_experiment(tmp_path / "cnn")
