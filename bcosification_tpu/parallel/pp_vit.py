@@ -23,6 +23,7 @@ train=..., explain=..., mutable=...)` surface the step builders use, so
 """
 from __future__ import annotations
 
+import math
 from typing import Any, Optional
 
 import jax
@@ -42,7 +43,12 @@ def _pp_axis(mesh: Mesh) -> str:
 
 def pick_microbatches(batch: int, n_stages: int, n_data: int, target: Optional[int] = None) -> int:
     """Largest M <= target (default 4*S, the GPipe bubble guideline) with
-    B % M == 0 and the microbatch divisible by the 'data' axis."""
+    B % M == 0 and the microbatch divisible by the 'data' axis.
+
+    Always solvable when n_data | batch (M = batch/n_data is in the search
+    space); `vit_pipeline_forward` pads ragged batches up to that multiple
+    first, so ragged validation tails never crash (the shard_batch contract,
+    parallel/mesh.py)."""
     target = 4 * n_stages if target is None else target
     for m in range(min(target, batch), 0, -1):
         if batch % m == 0 and (batch // m) % n_data == 0:
@@ -89,6 +95,16 @@ def vit_pipeline_forward(
             "pipelined train with stateful norms (batch_stats) is not "
             "supported — SimpleViT's LayerNorm family is stateless"
         )
+
+    # Ragged batches (the last validation batch): pad up to a multiple of the
+    # 'data' axis by REPEATING real rows (never zeros/constants — B-cos patch
+    # norms on degenerate rows have inf sqrt-VJP partials, parallel/pp.py),
+    # run, slice back. Keeps shard_batch's never-crash-on-tails contract.
+    n_data = mesh.shape.get(DATA_AXIS, 1)
+    B0 = x.shape[0]
+    pad = (-B0) % n_data
+    if pad:  # modular indices: pad may exceed B0 (e.g. B0=3 on 8 data shards)
+        x = jnp.concatenate([x, x[jnp.arange(pad) % B0]], axis=0)
 
     # --- stem (same math as SimpleViT.__call__, models/vit.py) -------------
     p1, p2 = (
@@ -138,13 +154,13 @@ def vit_pipeline_forward(
         hx, _ = jax.lax.scan(body, hx, p)
         return hx
 
-    n_data = mesh.shape.get(DATA_AXIS, 1)
-    M = (
-        pick_microbatches(x.shape[0], S, n_data)
-        if n_microbatches is None
-        else n_microbatches
-    )
+    # n_microbatches is a TARGET (clamped to what divides this batch) so an
+    # explicit trainer.pp_microbatches never trips the strict low-level
+    # asserts on a differently-sized tail batch
+    M = pick_microbatches(x.shape[0], S, n_data, target=n_microbatches)
     x = pp_lib.pipeline_apply(stage_fn, stacked, x, mesh, n_microbatches=M, axis=axis)
+    if pad:
+        x = x[:B0]
 
     # --- head ----------------------------------------------------------------
     def head(t):
@@ -156,16 +172,16 @@ def vit_pipeline_forward(
     x = head(x).mean(axis=1) if vit.gap_reorder else head(x.mean(axis=1))
 
     if vit.with_logit_layer:
-        import math
+        from bcosification_tpu.modules import LogitLayer
 
         bias = (
             -math.log(vit.num_classes - 1)
             if vit.logit_bias is None
             else vit.logit_bias
         )
-        if vit.logit_temperature is not None:
-            x = x / vit.logit_temperature
-        x = x + bias
+        x = _sub(
+            LogitLayer(vit.logit_temperature, bias), variables, "logit_layer", x, f
+        )
     return x
 
 

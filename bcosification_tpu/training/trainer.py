@@ -94,14 +94,19 @@ class Trainer:
         tcfg0 = self.config.get("trainer", {})
         mp = int(tcfg0.get("model_parallel", 1) or 1)
         pp = int(tcfg0.get("pipeline_parallel", 1) or 1)
-        # PP alone rides the 'model' axis; PP + TP gets a dedicated 'pipe'
-        # axis (3-axis mesh) so TP keeps 'model' (docs/SCALING.md)
-        if pp > 1 and mp == 1:
-            self.mesh = mesh or mesh_lib.make_mesh(model_parallel=pp)
-        else:
-            self.mesh = mesh or mesh_lib.make_mesh(
-                model_parallel=mp, pipeline_parallel=pp
+        if pp > 1 and self.config.get("clip_kd", False):
+            # fail loudly: fit() redirects to fit_kd BEFORE the PP wrap, so a
+            # silent pass-through would shrink the data axis by the PP factor
+            # while never actually pipelining anything
+            raise ValueError(
+                "trainer.pipeline_parallel is not supported for clip_kd "
+                "experiments (the KD student is a CNN tower; use DP/FSDP)"
             )
+        # PP always gets the dedicated 'pipe' axis — one mesh layout whether
+        # or not TP is on ('model' stays the TP degree, 1 when unused)
+        self.mesh = mesh or mesh_lib.make_mesh(
+            model_parallel=mp, pipeline_parallel=pp
+        )
         self.save_dir = experiment.save_dir
         self.save_dir.mkdir(parents=True, exist_ok=True)
         monitor = "val_loss" if self._is_clip_kd() else "val_acc1"

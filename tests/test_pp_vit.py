@@ -49,6 +49,37 @@ def test_vit_pipeline_forward_matches_plain(rng):
         )
 
 
+def test_vit_pipeline_ragged_tail_matches_plain(rng):
+    """The last validation batch is rarely a multiple of the data axis; the
+    pipelined forward pads with repeated real rows (never zeros — B-cos inf
+    sqrt-VJP partials) and slices back. Also covers B < n_data."""
+    mesh = mesh_lib.make_mesh(model_parallel=4)  # data axis = 2
+    vit, variables = _tiny_vit()
+    for n in (5, 1):
+        x = _batch(rng, n=n)
+        want = vit.apply(variables, x, train=False)
+        got = jax.jit(
+            lambda v, x: pp_vit.vit_pipeline_forward(vit, v, x, mesh)
+        )(variables, x)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6
+        )
+    # an explicit microbatch target that doesn't divide the tail is clamped,
+    # not crashed (trainer.pp_microbatches semantics)
+    x = _batch(rng, n=6)
+    got = jax.jit(
+        lambda v, x: pp_vit.vit_pipeline_forward(
+            vit, v, x, mesh, n_microbatches=16
+        )
+    )(variables, x)
+    np.testing.assert_allclose(
+        np.asarray(got),
+        np.asarray(vit.apply(variables, x, train=False)),
+        rtol=2e-5, atol=2e-6,
+    )
+
+
 def test_vit_pipeline_grads_match_plain(rng):
     mesh = mesh_lib.make_mesh(model_parallel=4)
     vit, variables = _tiny_vit()

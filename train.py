@@ -74,8 +74,8 @@ def get_parser():
     parser.add_argument(
         "--pipeline_parallel", type=int, default=1,
         help="GPipe stages for SimpleViT encoder stacks (beyond-reference; "
-        "rides 'model', or a dedicated 'pipe' axis when combined with "
-        "--model_parallel — docs/SCALING.md)",
+        "rides a dedicated 'pipe' mesh axis, composing with "
+        "--model_parallel TP — docs/SCALING.md)",
     )
     parser.add_argument(
         "--log_every_n_steps", type=int, default=50,
