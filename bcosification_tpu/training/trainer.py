@@ -131,6 +131,44 @@ class Trainer:
         self._log_every_n_steps = int(n) if n is not None and int(n) > 0 else 0
         self._gather_fn = None  # cached jitted all-gather, built on first use
 
+    def _install_preemption_handler(self):
+        """SIGTERM -> checkpoint-and-exit at the next step boundary.
+
+        The TPU-native analogue of the reference's submitit auto-requeue
+        (`/root/reference/run_with_submitit.py:46-49` + SLURM's 4-minute
+        grace signal): preemptible TPU VMs / queued resources send SIGTERM
+        before reclaim; the fit loops notice the flag after the in-flight
+        step, save a 'last' checkpoint (tagged with the interrupted epoch,
+        metrics unscored so top-k stays honest) and return cleanly — the
+        supervisor restarts the same command and `resume=True` picks it up.
+        Unlike the reference (PL saves last.ckpt only at epoch end, so a
+        requeue discards the partial epoch), the mid-epoch optimizer state
+        survives. Multi-host: the save gathers sharded state — a collective
+        every process joins — so supervisors must signal ALL processes (the
+        normal preemption behaviour for a whole slice).
+
+        Returns a restore() that reinstates the previous handler. No-op off
+        the main thread (signal.signal is main-thread-only)."""
+        import signal
+        import threading
+
+        self._preempt_requested = False
+        if threading.current_thread() is not threading.main_thread():
+            return lambda: None
+
+        def handler(signum, frame):
+            self._preempt_requested = True
+            print(
+                "SIGTERM received — checkpointing at the next step boundary; "
+                "resume with the same command"
+            )
+
+        try:
+            prev = signal.signal(signal.SIGTERM, handler)
+        except ValueError:  # non-main interpreter contexts
+            return lambda: None
+        return lambda: signal.signal(signal.SIGTERM, prev)
+
     def _place_state(self, state):
         """Place the TrainState on the mesh (beyond-reference scale-out; the
         reference's DDP regime — fully replicated — is the default):
@@ -374,11 +412,14 @@ class Trainer:
                     f"{profile_window[0]}-{profile_window[1]} incl. compile"
                 )
 
+        restore_sigterm = self._install_preemption_handler()
         for epoch in range(start_epoch, max_epochs):
             t0 = time.time()
             train_loader.set_epoch(epoch)
             losses, accs, n_steps = [], [], 0
             for batch in train_loader:
+                if self._preempt_requested:
+                    break
                 batch = mesh_lib.shard_batch(batch, self.mesh)
                 if profile_window and n_steps == profile_window[0]:
                     jax.profiler.start_trace(profile_dir)
@@ -415,6 +456,15 @@ class Trainer:
                     jax.profiler.stop_trace()
                     print(f"profiler trace written to {profile_dir}")
                 profile_window = None
+            if self._preempt_requested:
+                self.ckpt.save(
+                    self._host_state(state), epoch, {"preempted": 1.0}
+                )
+                print(
+                    f"preempted during epoch {epoch} after {n_steps} steps: "
+                    f"'last' checkpoint saved; resume with the same command"
+                )
+                break
             if not losses:
                 print(
                     "WARNING: train loader yielded no batches — dataset "
@@ -456,6 +506,7 @@ class Trainer:
 
             if fast_dev_run:
                 break
+        restore_sigterm()
         for lg in self.loggers:
             lg.finalize()
         return state
@@ -546,12 +597,15 @@ class Trainer:
         if profile_dir and self._io_process:
             profile_window = (0, 0) if fast_dev_run else (3, 8)
 
+        restore_sigterm = self._install_preemption_handler()
         for epoch in range(start_epoch, max_epochs):
             t0 = time.time()
             if hasattr(train_loader, "set_epoch"):
                 train_loader.set_epoch(epoch)
             losses = []
             for batch in train_loader:
+                if self._preempt_requested:
+                    break
                 batch = {"image": batch["image"]}
                 batch = mesh_lib.shard_batch(batch, self.mesh)
                 if profile_window and len(losses) == profile_window[0]:
@@ -579,6 +633,16 @@ class Trainer:
                     jax.profiler.stop_trace()
                     print(f"profiler trace written to {profile_dir}")
                 profile_window = None
+            if self._preempt_requested:
+                self.ckpt.save(
+                    self._host_state(state), epoch, {"preempted": 1.0}
+                )
+                print(
+                    f"preempted during epoch {epoch} after {len(losses)} "
+                    f"steps: 'last' checkpoint saved; resume with the same "
+                    f"command"
+                )
+                break
             train_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
 
             val_losses, n = [], 0
@@ -610,6 +674,7 @@ class Trainer:
                 print(f"  student params hash: {self.param_hash(state.params)}")
             if fast_dev_run:
                 break
+        restore_sigterm()
         for lg in self.loggers:
             lg.finalize()
         return state

@@ -338,6 +338,49 @@ def test_trainer_profile_dir_writes_trace(tmp_path):
     assert any(p.is_file() for p in written), written
 
 
+def test_trainer_preemption_checkpoint_and_resume(tmp_path):
+    """SIGTERM mid-epoch (preemptible TPU VM reclaim, the reference's
+    submitit-requeue scenario) checkpoints at the next step boundary, exits
+    the fit cleanly, restores the previous handler, and a rerun of the same
+    command resumes past the interrupted epoch."""
+    import os
+    import signal
+
+    model = TinyNet()
+    dm = SynthDataModule()
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(dm.images[:1]), train=True
+    )
+    exp = _fake_experiment(tmp_path)
+    trainer = Trainer(exp, {"log_every_n_steps": 2})
+
+    sent = []
+
+    class Preempter:  # fires SIGTERM from inside the step-event callback
+        def log_metrics(self, metrics, step):
+            if not sent:
+                sent.append(step)
+                os.kill(os.getpid(), signal.SIGTERM)
+
+        log_image = log_hparams = finalize = lambda self, *a, **k: None
+
+    before = signal.getsignal(signal.SIGTERM)
+    trainer.loggers = [Preempter()]
+    state = trainer.fit(model, variables, dm, max_epochs=5)
+    # flag checked at the loop top: the step that logged (global step 2) is
+    # the last one taken — 4 batches/epoch, so we stopped inside epoch 0
+    assert int(state.step) == 2
+    assert signal.getsignal(signal.SIGTERM) is before, "handler not restored"
+    ckpts = trainer.ckpt.available_checkpoints()
+    assert ckpts, "no preemption checkpoint written"
+
+    # the supervisor reruns the same command: resume skips the interrupted
+    # epoch 0 and trains epochs 1..4 (4 epochs x 4 batches on top of step 2)
+    trainer2 = Trainer(exp)
+    state2 = trainer2.fit(model, variables, dm, max_epochs=5)
+    assert int(state2.step) == 2 + 4 * 4
+
+
 def test_eval_deterministic(tmp_path):
     """evaluate.py:74-75 determinism contract: identical logits across runs."""
     model = TinyNet()
