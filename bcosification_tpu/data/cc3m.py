@@ -100,6 +100,15 @@ class WdsPipeline:
     shuffle_buffer: int = 0
     seed: int = 0
     drop_partial: bool = True
+    # native decode path (native/bcos_loader.cpp::bcos_decode_transform_mem):
+    # "auto" uses it when the transform is one of the two CLIP-KD presets the
+    # C++ transform implements exactly (RRC+flip train / resize+center-crop
+    # eval, raw [0,1] 3-channel) and the library is built; True demands it
+    # (raises otherwise); False forces the PIL path. Decodes run batch-at-a-
+    # time in a thread pool — ctypes releases the GIL, so they scale with
+    # cores (measured in scripts/bench_loader.py --wds).
+    native_decode: object = "auto"
+    num_threads: int = 8
 
     def _samples(self) -> Iterator[Dict[str, object]]:
         rng = np.random.default_rng(self.seed)
@@ -138,7 +147,98 @@ class WdsPipeline:
             out["text"] = s["txt"].decode("utf-8", errors="replace")
         return out
 
+    def _native_plan(self):
+        """(train_mode, out_size, resize_size) when `transform` is one of the
+        CLIP-KD presets the native transform implements exactly, else None."""
+        if self.native_decode is False or self.mode == "text":
+            return None
+        from bcosification_tpu.data import native_loader
+        from bcosification_tpu.data.presets import (
+            CLIPBcosImageNetClassificationPresetEval,
+            CLIPBcosImageNetClassificationPresetTrain,
+        )
+
+        t, plan = self.transform, None
+        if isinstance(t, CLIPBcosImageNetClassificationPresetTrain):
+            a = t.args
+            if a.get("interpolation") == "bilinear" and a.get("hflip_prob") == 0.5:
+                plan = (True, a["crop_size"], 256)
+        elif isinstance(t, CLIPBcosImageNetClassificationPresetEval):
+            a = t.args
+            if a.get("interpolation") == "bilinear":
+                plan = (False, a["crop_size"], a.get("resize_size", 256))
+        if plan is None:
+            if self.native_decode is True:
+                raise ValueError(
+                    f"native_decode=True but transform {type(t).__name__} is "
+                    "not one of the native-equivalent CLIP presets"
+                )
+            return None
+        if not native_loader.native_available():
+            if self.native_decode is True:
+                raise RuntimeError(
+                    "native_decode=True but libbcos_loader.so is not built "
+                    "(run `make -C native`)"
+                )
+            return None
+        return plan
+
+    def _iter_native(self, plan):
+        """Batch-at-a-time native decode in a thread pool; PIL fallback for
+        members libjpeg rejects (png/webp)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from bcosification_tpu.data import native_loader
+
+        train, out_size, resize_size = plan
+
+        def decode(args):
+            idx, img_bytes = args
+            out = native_loader.decode_transform_bytes(
+                img_bytes,
+                out_size=out_size,
+                resize_size=resize_size,
+                channels=3,
+                train=train,
+                seed=(self.seed * 0x9E3779B97F4A7C15 + idx) & (2**64 - 1),
+            )
+            if out is None:  # non-JPEG member: the PIL + python-preset path
+                img = _decode_image(img_bytes)
+                out = np.asarray(
+                    self.transform(img) if self.transform is not None else img,
+                    np.float32,
+                )
+            return out
+
+        with ThreadPoolExecutor(self.num_threads) as pool:
+            pending: List[Dict[str, object]] = []
+            raw: List[Tuple[int, bytes]] = []
+            for i, s in enumerate(self._samples()):
+                img_bytes = next((s[e] for e in IMAGE_EXTS if e in s), None)
+                if img_bytes is None:
+                    continue
+                if self.mode == "pair" and "txt" not in s:
+                    continue
+                entry: Dict[str, object] = {"key": s["__key__"]}
+                if self.mode == "pair":
+                    entry["text"] = s["txt"].decode("utf-8", errors="replace")
+                pending.append(entry)
+                raw.append((i, img_bytes))
+                if len(pending) == self.batch_size:
+                    for e, img in zip(pending, pool.map(decode, raw)):
+                        e["image"] = img
+                    yield self._collate(pending)
+                    pending, raw = [], []
+            if pending and not self.drop_partial:
+                for e, img in zip(pending, pool.map(decode, raw)):
+                    e["image"] = img
+                yield self._collate(pending)
+
     def __iter__(self):
+        plan = self._native_plan()
+        if plan is not None:
+            yield from self._iter_native(plan)
+            return
         batch: List[Dict[str, object]] = []
         for s in self._samples():
             p = self._prepare(s)

@@ -15,7 +15,12 @@ from typing import Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-__all__ = ["native_available", "NativeImageLoader", "decode_resize"]
+__all__ = [
+    "native_available",
+    "NativeImageLoader",
+    "decode_resize",
+    "decode_transform_bytes",
+]
 
 _LIB_PATHS = [
     Path(__file__).parents[2] / "native" / "libbcos_loader.so",
@@ -25,7 +30,7 @@ _LIB_PATHS = [
 # Must match bcos_loader_abi_version() in native/bcos_loader.cpp. A stale
 # binary (the .so is checked in; a fresh checkout equalises mtimes, so make
 # cannot detect it) is rejected rather than silently misbehaving.
-_ABI_VERSION = 2
+_ABI_VERSION = 3
 
 _lib = None
 
@@ -83,6 +88,17 @@ def _load_lib():
                 ctypes.c_int,
                 ctypes.POINTER(ctypes.c_float),
             ]
+            lib.bcos_decode_transform_mem.restype = ctypes.c_int
+            lib.bcos_decode_transform_mem.argtypes = [
+                ctypes.c_char_p,  # raw bytes
+                ctypes.c_longlong,
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_uint64,
+                ctypes.POINTER(ctypes.c_float),
+            ]
             _lib = lib
             return lib
     return None
@@ -106,6 +122,39 @@ def decode_resize(
         out_size,
         resize_size,
         channels,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out if ok else None
+
+
+def decode_transform_bytes(
+    data: bytes,
+    *,
+    out_size: int = 224,
+    resize_size: int = 256,
+    channels: int = 3,
+    train: bool = False,
+    seed: int = 0,
+) -> Optional[np.ndarray]:
+    """In-memory JPEG decode + fused transform (the webdataset hot path).
+
+    eval: resize shorter side + center crop; train: RandomResizedCrop + hflip
+    driven by ``seed`` (pass a distinct per-sample seed for reproducible
+    epochs). ctypes releases the GIL for the call, so a Python thread pool
+    scales it across cores. Returns None when the native library is missing
+    or the buffer is not a decodable JPEG (caller falls back to PIL)."""
+    lib = _load_lib()
+    if lib is None:
+        return None
+    out = np.empty((out_size, out_size, channels), np.float32)
+    ok = lib.bcos_decode_transform_mem(
+        data,
+        len(data),
+        out_size,
+        resize_size,
+        channels,
+        1 if train else 0,
+        seed,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
     return out if ok else None

@@ -73,6 +73,34 @@ bool decode_jpeg(const std::string& path, std::vector<uint8_t>* out, int* w,
   return true;
 }
 
+// Decode an in-memory JPEG (webdataset tar members) into RGB8.
+bool decode_jpeg_mem(const uint8_t* data, size_t len, std::vector<uint8_t>* out,
+                     int* w, int* h) {
+  jpeg_decompress_struct cinfo;
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, data, len);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  *w = cinfo.output_width;
+  *h = cinfo.output_height;
+  out->resize(size_t(*w) * *h * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = out->data() + size_t(cinfo.output_scanline) * *w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return true;
+}
+
 // Bilinear sample from RGB8 (align_corners=False convention, clamped).
 inline void bilinear_rgb(const uint8_t* src, int sw, int sh, float sy, float sx,
                          float* rgb) {
@@ -104,6 +132,81 @@ struct Batch {
 
 constexpr int kModeEval = 0;   // resize shorter side to resize_size, center crop
 constexpr int kModeTrain = 1;  // random resized crop + random hflip
+
+// The fused transform on a decoded RGB8 image: crop-box selection (eval
+// resize+center-crop or torchvision RandomResizedCrop semantics) + bilinear
+// resample + optional hflip + [0,1] scaling + optional AddInverse. Shared by
+// the ImageFolder Loader and the in-memory webdataset entry point.
+void transform_rgb(const uint8_t* rgb, int w, int h, int out_size,
+                   int resize_size, int channels_out, int mode,
+                   std::mt19937_64& rng, float* dst) {
+  const int S = out_size;
+  float y0 = 0, x0 = 0, ch = h, cw = w;  // crop box in source coords
+  bool flip = false;
+  if (mode == kModeTrain) {
+    // torchvision RandomResizedCrop(scale=(0.08,1), ratio=(3/4,4/3))
+    std::uniform_real_distribution<float> uscale(0.08f, 1.0f);
+    std::uniform_real_distribution<float> ulogr(std::log(3.0f / 4),
+                                                std::log(4.0f / 3));
+    bool found = false;
+    for (int attempt = 0; attempt < 10; ++attempt) {
+      float area = float(w) * h * uscale(rng);
+      float ar = std::exp(ulogr(rng));
+      int tw = int(std::round(std::sqrt(area * ar)));
+      int th = int(std::round(std::sqrt(area / ar)));
+      if (tw > 0 && th > 0 && tw <= w && th <= h) {
+        std::uniform_int_distribution<int> ux(0, w - tw), uy(0, h - th);
+        x0 = float(ux(rng));
+        y0 = float(uy(rng));
+        cw = tw;
+        ch = th;
+        found = true;
+        break;
+      }
+    }
+    if (!found) {  // central fallback
+      float in_r = float(w) / h;
+      if (in_r < 3.0f / 4) {
+        cw = w;
+        ch = std::round(w / (3.0f / 4));
+      } else if (in_r > 4.0f / 3) {
+        ch = h;
+        cw = std::round(h * (4.0f / 3));
+      } else {
+        cw = w;
+        ch = h;
+      }
+      x0 = (w - cw) / 2;
+      y0 = (h - ch) / 2;
+    }
+    flip = std::uniform_real_distribution<float>(0, 1)(rng) < 0.5f;
+  } else {
+    // Resize shorter side to resize_size then center-crop out_size
+    float scale = float(resize_size) / std::min(w, h);
+    float rw = w * scale, rh = h * scale;
+    // center crop box, mapped back to source coords
+    float left = (rw - S) / 2.0f, top = (rh - S) / 2.0f;
+    x0 = left / scale;
+    y0 = top / scale;
+    cw = S / scale;
+    ch = S / scale;
+  }
+  for (int oy = 0; oy < S; ++oy) {
+    for (int ox = 0; ox < S; ++ox) {
+      int sample_x = flip ? (S - 1 - ox) : ox;
+      float sy = y0 + (oy + 0.5f) * ch / S - 0.5f;
+      float sx = x0 + (sample_x + 0.5f) * cw / S - 0.5f;
+      float rgbv[3];
+      bilinear_rgb(rgb, w, h, sy, sx, rgbv);
+      float* px = dst + (size_t(oy) * S + ox) * channels_out;
+      for (int c = 0; c < 3; ++c) {
+        float v = rgbv[c] / 255.0f;
+        px[c] = v;
+        if (channels_out == 6) px[c + 3] = 1.0f - v;  // AddInverse
+      }
+    }
+  }
+}
 
 class Loader {
  public:
@@ -195,71 +298,8 @@ class Loader {
       std::memset(dst, 0, size_t(S) * S * channels_out_ * sizeof(float));
       return;
     }
-    float y0 = 0, x0 = 0, ch = h, cw = w;  // crop box in source coords
-    bool flip = false;
-    if (mode_ == kModeTrain) {
-      // torchvision RandomResizedCrop(scale=(0.08,1), ratio=(3/4,4/3))
-      std::uniform_real_distribution<float> uscale(0.08f, 1.0f);
-      std::uniform_real_distribution<float> ulogr(std::log(3.0f / 4),
-                                                  std::log(4.0f / 3));
-      bool found = false;
-      for (int attempt = 0; attempt < 10; ++attempt) {
-        float area = float(w) * h * uscale(rng);
-        float ar = std::exp(ulogr(rng));
-        int tw = int(std::round(std::sqrt(area * ar)));
-        int th = int(std::round(std::sqrt(area / ar)));
-        if (tw > 0 && th > 0 && tw <= w && th <= h) {
-          std::uniform_int_distribution<int> ux(0, w - tw), uy(0, h - th);
-          x0 = float(ux(rng));
-          y0 = float(uy(rng));
-          cw = tw;
-          ch = th;
-          found = true;
-          break;
-        }
-      }
-      if (!found) {  // central fallback
-        float in_r = float(w) / h;
-        if (in_r < 3.0f / 4) {
-          cw = w;
-          ch = std::round(w / (3.0f / 4));
-        } else if (in_r > 4.0f / 3) {
-          ch = h;
-          cw = std::round(h * (4.0f / 3));
-        } else {
-          cw = w;
-          ch = h;
-        }
-        x0 = (w - cw) / 2;
-        y0 = (h - ch) / 2;
-      }
-      flip = std::uniform_real_distribution<float>(0, 1)(rng) < 0.5f;
-    } else {
-      // Resize shorter side to resize_size then center-crop out_size
-      float scale = float(resize_size_) / std::min(w, h);
-      float rw = w * scale, rh = h * scale;
-      // center crop box, mapped back to source coords
-      float left = (rw - S) / 2.0f, top = (rh - S) / 2.0f;
-      x0 = left / scale;
-      y0 = top / scale;
-      cw = S / scale;
-      ch = S / scale;
-    }
-    for (int oy = 0; oy < S; ++oy) {
-      for (int ox = 0; ox < S; ++ox) {
-        int sample_x = flip ? (S - 1 - ox) : ox;
-        float sy = y0 + (oy + 0.5f) * ch / S - 0.5f;
-        float sx = x0 + (sample_x + 0.5f) * cw / S - 0.5f;
-        float rgbv[3];
-        bilinear_rgb(rgb.data(), w, h, sy, sx, rgbv);
-        float* px = dst + (size_t(oy) * S + ox) * channels_out_;
-        for (int c = 0; c < 3; ++c) {
-          float v = rgbv[c] / 255.0f;
-          px[c] = v;
-          if (channels_out_ == 6) px[c + 3] = 1.0f - v;  // AddInverse
-        }
-      }
-    }
+    transform_rgb(rgb.data(), w, h, out_size_, resize_size_, channels_out_,
+                  mode_, rng, dst);
   }
 
   void work(int tid) {
@@ -331,7 +371,7 @@ extern "C" {
 // fresh checkout gives every file the same mtime, so `make` alone cannot
 // detect staleness (this exact failure shipped a pre-reorder-buffer binary
 // in round 2 — eval batches came out of submission order).
-int bcos_loader_abi_version() { return 2; }
+int bcos_loader_abi_version() { return 3; }
 
 void* bcos_loader_create(const char** paths, const int32_t* labels, int n,
                          int out_size, int resize_size, int batch, int threads,
@@ -365,5 +405,25 @@ int bcos_decode_resize(const char* path, int out_size, int resize_size,
            0, 2);
   std::vector<int32_t> lab(1);
   return l.next(dst, lab.data());
+}
+
+// In-memory decode + fused transform — the webdataset (CC3M tar shard) hot
+// path: tar streaming stays in Python (cheap, sequential I/O), the
+// decode+crop+flip+scale runs here with the GIL released, thread-pooled from
+// Python. mode: 0 = eval (resize + center crop), 1 = train (RandomResizedCrop
+// + hflip, driven by `seed` — pass a distinct per-sample seed for
+// reproducible epochs). Returns 1 on success, 0 on a corrupt/non-JPEG buffer.
+int bcos_decode_transform_mem(const uint8_t* data, long long len, int out_size,
+                              int resize_size, int channels_out, int mode,
+                              uint64_t seed, float* dst) {
+  std::vector<uint8_t> rgb;
+  int w = 0, h = 0;
+  if (len <= 0 || !decode_jpeg_mem(data, size_t(len), &rgb, &w, &h) || w < 1 ||
+      h < 1)
+    return 0;
+  std::mt19937_64 rng(seed);
+  transform_rgb(rgb.data(), w, h, out_size, resize_size, channels_out, mode,
+                rng, dst);
+  return 1;
 }
 }

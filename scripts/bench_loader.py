@@ -127,6 +127,65 @@ def bench_native(root, batch_size, threads, mode):
     return _drain(loader)
 
 
+def build_wds_shards(root: Path, n_images: int, per_shard: int = 500, size=(500, 375)):
+    """Synthetic CC3M-like tar shards (jpg + txt per key)."""
+    import io
+    import tarfile
+
+    from PIL import Image
+
+    wds_dir = root / "wds"
+    done = wds_dir / ".done"
+    if done.exists():
+        return sorted(str(p) for p in wds_dir.glob("*.tar"))
+    wds_dir.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(0)
+    shard_idx, tf = -1, None
+    for i in range(n_images):
+        if i % per_shard == 0:
+            if tf is not None:
+                tf.close()
+            shard_idx += 1
+            tf = tarfile.open(wds_dir / f"{shard_idx:05d}.tar", "w")
+        arr = rng.integers(0, 255, (size[1] // 8, size[0] // 8, 3), np.uint8)
+        img = Image.fromarray(arr).resize(size, Image.BILINEAR)
+        buf = io.BytesIO()
+        img.save(buf, format="JPEG", quality=90)
+        data = buf.getvalue()
+        info = tarfile.TarInfo(f"{i:07d}.jpg")
+        info.size = len(data)
+        tf.addfile(info, io.BytesIO(data))
+        txt = f"caption number {i}".encode()
+        info = tarfile.TarInfo(f"{i:07d}.txt")
+        info.size = len(txt)
+        tf.addfile(info, io.BytesIO(txt))
+    if tf is not None:
+        tf.close()
+    done.touch()
+    return sorted(str(p) for p in wds_dir.glob("*.tar"))
+
+
+def bench_wds(root, batch_size, threads, n_images, native):
+    """CC3M KD pipeline (WdsPipeline, train preset) img/s — native in-memory
+    decode pool vs the single-threaded PIL path. Target: the measured KD
+    train consumption of 1520 img/s/chip (docs/PERF.md)."""
+    from bcosification_tpu.data.cc3m import WdsPipeline
+    from bcosification_tpu.data.presets import (
+        CLIPBcosImageNetClassificationPresetTrain,
+    )
+
+    shards = build_wds_shards(root, n_images)
+    pipe = WdsPipeline(
+        shards, batch_size, mode="pair",
+        transform=CLIPBcosImageNetClassificationPresetTrain(crop_size=224),
+        tokenizer=None,  # tokenization is not the bottleneck being measured
+        native_decode=native, num_threads=threads,
+    )
+    if native and pipe._native_plan() is None:
+        return None
+    return _drain(pipe)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--images", type=int, default=2000)
@@ -144,6 +203,13 @@ def main(argv=None):
     r = bench_native(root, args.batch_size, args.threads, "eval")
     if r:
         results["native_eval"] = round(r[0], 1)
+
+    r = bench_wds(root, args.batch_size, args.threads, args.images, native=True)
+    if r:
+        results["wds_native_train"] = round(r[0], 1)
+    r = bench_wds(root, args.batch_size, args.threads, args.images, native=False)
+    if r:
+        results["wds_python_train"] = round(r[0], 1)
 
     fill, hot, _ = bench_cached(root, args.batch_size, args.threads)
     results["cached_fill"] = round(fill, 1)

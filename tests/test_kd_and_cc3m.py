@@ -68,6 +68,106 @@ def test_wds_pipeline_pair_mode(cc3m_shard):
     assert len(b["key"]) == 2
 
 
+def test_wds_pipeline_native_decode_matches_python(cc3m_shard):
+    """With the real CLIP-KD eval preset, 'auto' routes decoding through the
+    native in-memory path (thread-pooled libjpeg) — same keys/texts, images
+    equal to the PIL path up to resampler differences."""
+    import pytest as _pytest
+
+    from bcosification_tpu.clip.tokenizer import tokenize
+    from bcosification_tpu.data import native_loader
+    from bcosification_tpu.data.presets import (
+        CLIPBcosImageNetClassificationPresetEval,
+    )
+
+    if not native_loader.native_available():
+        _pytest.skip("native loader not built")
+    preset = CLIPBcosImageNetClassificationPresetEval(crop_size=16, resize_size=20)
+
+    # smooth images: PIL's antialiased bilinear and the native point-sampled
+    # bilinear only agree structurally on band-limited content (random-noise
+    # pixels decorrelate under any two different downsamplers)
+    import io as _io
+    import tarfile as _tarfile
+
+    from PIL import Image as _Image
+
+    import tempfile
+
+    tmp = tempfile.mkdtemp()
+    shard = f"{tmp}/smooth.tar"
+    yy, xx = np.mgrid[0:32, 0:40].astype(np.float32)
+    with _tarfile.open(shard, "w") as tf:
+        for i in range(6):
+            arr = np.stack(
+                [
+                    127 + 120 * np.sin(xx / (3 + i) + yy / 5),
+                    255 * xx / 40,
+                    255 * yy / 32,
+                ],
+                axis=-1,
+            ).clip(0, 255).astype(np.uint8)
+            buf = _io.BytesIO()
+            _Image.fromarray(arr).save(buf, format="JPEG", quality=95)
+            data = buf.getvalue()
+            info = _tarfile.TarInfo(f"{i:05d}.jpg")
+            info.size = len(data)
+            tf.addfile(info, _io.BytesIO(data))
+            txt = f"a photo of thing {i}".encode()
+            info = _tarfile.TarInfo(f"{i:05d}.txt")
+            info.size = len(txt)
+            tf.addfile(info, _io.BytesIO(txt))
+
+    def run(native):
+        pipe = WdsPipeline(
+            [shard], batch_size=2, mode="pair", transform=preset,
+            tokenizer=tokenize, native_decode=native,
+        )
+        assert (pipe._native_plan() is not None) == (native is True)
+        return list(pipe)
+
+    a = run(True)
+    b = run(False)
+    assert len(a) == len(b) == 3
+    for ba, bb in zip(a, b):
+        assert ba["key"] == bb["key"]
+        np.testing.assert_array_equal(ba["text"], bb["text"])
+        assert ba["image"].shape == bb["image"].shape == (2, 16, 16, 3)
+        # PIL bilinear antialiases on downsample, the native resampler does
+        # not — distribution-level agreement like tests/test_native_loader.py
+        assert abs(float(ba["image"].mean()) - float(bb["image"].mean())) < 0.02
+        corr = np.corrcoef(ba["image"].ravel(), bb["image"].ravel())[0, 1]
+        assert corr > 0.95, corr
+
+
+def test_wds_pipeline_native_train_deterministic(cc3m_shard):
+    """Train-mode native decode (RRC + flip) is reproducible per pipeline
+    seed and produces valid [0,1] 3-channel crops."""
+    import pytest as _pytest
+
+    from bcosification_tpu.data import native_loader
+    from bcosification_tpu.data.presets import (
+        CLIPBcosImageNetClassificationPresetTrain,
+    )
+
+    if not native_loader.native_available():
+        _pytest.skip("native loader not built")
+    preset = CLIPBcosImageNetClassificationPresetTrain(crop_size=16)
+
+    def run(seed):
+        pipe = WdsPipeline(
+            [cc3m_shard], batch_size=2, mode="image", transform=preset,
+            seed=seed, native_decode=True,
+        )
+        return np.concatenate([b["image"] for b in pipe])
+
+    x1, x2, x3 = run(0), run(0), run(1)
+    np.testing.assert_array_equal(x1, x2)
+    assert float(np.abs(x1 - x3).max()) > 0  # different seed, different crops
+    assert x1.shape == (6, 16, 16, 3)
+    assert 0.0 <= x1.min() and x1.max() <= 1.0
+
+
 def test_kd_train_step_tiny(rng):
     """One SigLIP KD step: loss finite, student params move, teacher frozen."""
     from bcosification_tpu.bcosify.clip_import import (

@@ -101,6 +101,29 @@ def test_decode_resize_matches_pil(jpeg_dir):
 
 
 @needs_native
+def test_decode_transform_bytes_matches_file_path(jpeg_dir):
+    """The in-memory (webdataset) entry point runs the exact same decode +
+    transform code as the file path: bitwise-equal eval outputs."""
+    from bcosification_tpu.data.native_loader import decode_transform_bytes
+
+    paths, _ = jpeg_dir
+    data = open(paths[0], "rb").read()
+    via_file = decode_resize(paths[0], out_size=64, resize_size=72, channels=6)
+    via_mem = decode_transform_bytes(
+        data, out_size=64, resize_size=72, channels=6, train=False
+    )
+    np.testing.assert_array_equal(via_mem, via_file)
+    # corrupt buffer -> honest failure, not garbage
+    assert decode_transform_bytes(b"not a jpeg") is None
+    # train mode: seed-deterministic, seed-sensitive
+    a = decode_transform_bytes(data, out_size=32, channels=3, train=True, seed=7)
+    b = decode_transform_bytes(data, out_size=32, channels=3, train=True, seed=7)
+    c = decode_transform_bytes(data, out_size=32, channels=3, train=True, seed=8)
+    np.testing.assert_array_equal(a, b)
+    assert float(np.abs(a - c).max()) > 0
+
+
+@needs_native
 def test_batched_loader(jpeg_dir):
     paths, labels = jpeg_dir
     loader = NativeImageLoader(
