@@ -101,17 +101,25 @@ class WdsPipeline:
     seed: int = 0
     drop_partial: bool = True
     # native decode path (native/bcos_loader.cpp::bcos_decode_transform_mem):
-    # "auto" uses it when the transform is one of the two CLIP-KD presets the
-    # C++ transform implements exactly (RRC+flip train / resize+center-crop
-    # eval, raw [0,1] 3-channel) and the library is built; True demands it
-    # (raises otherwise); False forces the PIL path. Decodes run batch-at-a-
-    # time in a thread pool — ctypes releases the GIL, so they scale with
-    # cores (measured in scripts/bench_loader.py --wds).
+    # "auto" uses it when the transform is the CLIP-KD TRAIN preset (RRC +
+    # flip, raw [0,1] 3-channel — random augmentation, so the native
+    # resampler's non-antialiased bilinear only changes the augmentation
+    # distribution, not any parity-relevant numerics) and the library is
+    # built. The EVAL preset is deterministic and feeds parity-sensitive
+    # validation/zeroshot metrics, so "auto" leaves it on PIL; pass True to
+    # force native for either preset (raises if unavailable/mismatched),
+    # False to force PIL. Decodes run in a thread pool — ctypes releases the
+    # GIL, so they scale with cores (the wds rows of scripts/bench_loader.py).
     native_decode: object = "auto"
     num_threads: int = 8
 
+    def set_epoch(self, epoch: int):
+        """Vary shard order and (native path) augmentation draws per epoch —
+        the trainer's fit loops call this when present."""
+        self._epoch = int(epoch)
+
     def _samples(self) -> Iterator[Dict[str, object]]:
-        rng = np.random.default_rng(self.seed)
+        rng = np.random.default_rng((self.seed, getattr(self, "_epoch", 0)))
         shards = list(self.shards)
         if self.shuffle_buffer:
             rng.shuffle(shards)
@@ -126,8 +134,9 @@ class WdsPipeline:
                         yield buf.pop()
                 else:
                     yield s
-        while buf:
-            idx = np.random.default_rng(self.seed).integers(len(buf))
+        while buf:  # drain with the SAME stream (a fresh rng per pop would
+            # draw the same relative index every time — barely a shuffle)
+            idx = rng.integers(len(buf))
             buf[idx], buf[-1] = buf[-1], buf[idx]
             yield buf.pop()
 
@@ -148,9 +157,16 @@ class WdsPipeline:
         return out
 
     def _native_plan(self):
-        """(train_mode, out_size, resize_size) when `transform` is one of the
-        CLIP-KD presets the native transform implements exactly, else None."""
-        if self.native_decode is False or self.mode == "text":
+        """(train_mode, out_size, resize_size) when the native transform can
+        serve `transform`, else None.
+
+        "auto" activates only for the TRAIN preset: its crops/flips are random
+        draws, so the native resampler changes the augmentation distribution,
+        not any deterministic numerics. The EVAL preset feeds parity-sensitive
+        validation, so it needs an explicit truthy native_decode."""
+        auto = self.native_decode == "auto"
+        strict = (not auto) and bool(self.native_decode)  # any truthy value
+        if (not strict and not auto) or self.mode == "text":
             return None
         from bcosification_tpu.data import native_loader
         from bcosification_tpu.data.presets import (
@@ -163,56 +179,63 @@ class WdsPipeline:
             a = t.args
             if a.get("interpolation") == "bilinear" and a.get("hflip_prob") == 0.5:
                 plan = (True, a["crop_size"], 256)
-        elif isinstance(t, CLIPBcosImageNetClassificationPresetEval):
+        elif isinstance(t, CLIPBcosImageNetClassificationPresetEval) and strict:
             a = t.args
             if a.get("interpolation") == "bilinear":
                 plan = (False, a["crop_size"], a.get("resize_size", 256))
         if plan is None:
-            if self.native_decode is True:
+            if strict:
                 raise ValueError(
-                    f"native_decode=True but transform {type(t).__name__} is "
-                    "not one of the native-equivalent CLIP presets"
+                    f"native_decode={self.native_decode!r} but transform "
+                    f"{type(t).__name__} is not one of the native-equivalent "
+                    "CLIP presets"
                 )
             return None
         if not native_loader.native_available():
-            if self.native_decode is True:
+            if strict:
                 raise RuntimeError(
-                    "native_decode=True but libbcos_loader.so is not built "
-                    "(run `make -C native`)"
+                    f"native_decode={self.native_decode!r} but "
+                    "libbcos_loader.so is not built (run `make -C native`)"
                 )
             return None
         return plan
 
+    def _sample_seed(self, idx: int) -> int:
+        # distinct per (pipeline seed, epoch, sample index): epochs must not
+        # repeat augmentation draws (set_epoch), runs with one seed must
+        return (
+            (self.seed * 0x9E3779B97F4A7C15)
+            ^ (getattr(self, "_epoch", 0) * 0xC2B2AE3D27D4EB4F)
+            ^ idx
+        ) & (2**64 - 1)
+
     def _iter_native(self, plan):
-        """Batch-at-a-time native decode in a thread pool; PIL fallback for
-        members libjpeg rejects (png/webp)."""
+        """Native decode in a thread pool, futures submitted as tar members
+        stream in (decode overlaps shard I/O); seeded PIL fallback for members
+        libjpeg rejects (png/webp)."""
         from concurrent.futures import ThreadPoolExecutor
 
         from bcosification_tpu.data import native_loader
 
         train, out_size, resize_size = plan
 
-        def decode(args):
-            idx, img_bytes = args
+        def decode(idx, img_bytes):
+            seed = self._sample_seed(idx)
             out = native_loader.decode_transform_bytes(
                 img_bytes,
                 out_size=out_size,
                 resize_size=resize_size,
                 channels=3,
                 train=train,
-                seed=(self.seed * 0x9E3779B97F4A7C15 + idx) & (2**64 - 1),
+                seed=seed,
             )
-            if out is None:  # non-JPEG member: the PIL + python-preset path
-                img = _decode_image(img_bytes)
-                out = np.asarray(
-                    self.transform(img) if self.transform is not None else img,
-                    np.float32,
-                )
+            if out is None:  # non-JPEG member (png/webp): seeded PIL fallback
+                out = self._fallback_decode(img_bytes, plan, seed)
             return out
 
         with ThreadPoolExecutor(self.num_threads) as pool:
             pending: List[Dict[str, object]] = []
-            raw: List[Tuple[int, bytes]] = []
+            futs: List[object] = []
             for i, s in enumerate(self._samples()):
                 img_bytes = next((s[e] for e in IMAGE_EXTS if e in s), None)
                 if img_bytes is None:
@@ -223,16 +246,36 @@ class WdsPipeline:
                 if self.mode == "pair":
                     entry["text"] = s["txt"].decode("utf-8", errors="replace")
                 pending.append(entry)
-                raw.append((i, img_bytes))
+                futs.append(pool.submit(decode, i, img_bytes))
                 if len(pending) == self.batch_size:
-                    for e, img in zip(pending, pool.map(decode, raw)):
-                        e["image"] = img
+                    for e, f in zip(pending, futs):
+                        e["image"] = f.result()
                     yield self._collate(pending)
-                    pending, raw = [], []
+                    pending, futs = [], []
             if pending and not self.drop_partial:
-                for e, img in zip(pending, pool.map(decode, raw)):
-                    e["image"] = img
+                for e, f in zip(pending, futs):
+                    e["image"] = f.result()
                 yield self._collate(pending)
+
+    def _fallback_decode(self, img_bytes: bytes, plan, seed: int) -> np.ndarray:
+        """PIL path for non-JPEG members, with the SAME per-sample seed
+        driving the random draws so the pipeline stays reproducible."""
+        from bcosification_tpu.data import transforms as T
+
+        train, out_size, resize_size = plan
+        img = _decode_image(img_bytes)
+        rng = np.random.default_rng(seed)
+        if train:
+            tf = T.Compose([
+                T.RandomResizedCrop(out_size, rng=rng),
+                T.RandomHorizontalFlip(0.5, rng=rng),
+                T.ToFloatArray(),
+            ])
+        else:
+            tf = T.Compose([
+                T.Resize(resize_size), T.CenterCrop(out_size), T.ToFloatArray(),
+            ])
+        return np.asarray(tf(img), np.float32)
 
     def __iter__(self):
         plan = self._native_plan()

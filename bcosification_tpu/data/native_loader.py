@@ -143,6 +143,8 @@ def decode_transform_bytes(
     epochs). ctypes releases the GIL for the call, so a Python thread pool
     scales it across cores. Returns None when the native library is missing
     or the buffer is not a decodable JPEG (caller falls back to PIL)."""
+    if channels not in (3, 6):
+        raise ValueError(f"channels must be 3 or 6, got {channels}")
     lib = _load_lib()
     if lib is None:
         return None

@@ -418,6 +418,9 @@ int bcos_decode_transform_mem(const uint8_t* data, long long len, int out_size,
                               uint64_t seed, float* dst) {
   std::vector<uint8_t> rgb;
   int w = 0, h = 0;
+  // transform_rgb writes 3 (or 6) floats per pixel at stride channels_out —
+  // reject strides that would overrun the caller's buffer
+  if ((channels_out != 3 && channels_out != 6) || out_size < 1) return 0;
   if (len <= 0 || !decode_jpeg_mem(data, size_t(len), &rgb, &w, &h) || w < 1 ||
       h < 1)
     return 0;

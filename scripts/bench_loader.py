@@ -170,10 +170,13 @@ def bench_wds(root, batch_size, threads, n_images, native):
     decode pool vs the single-threaded PIL path. Target: the measured KD
     train consumption of 1520 img/s/chip (docs/PERF.md)."""
     from bcosification_tpu.data.cc3m import WdsPipeline
+    from bcosification_tpu.data.native_loader import native_available
     from bcosification_tpu.data.presets import (
         CLIPBcosImageNetClassificationPresetTrain,
     )
 
+    if native and not native_available():
+        return None  # degrade like bench_native (strict mode would raise)
     shards = build_wds_shards(root, n_images)
     pipe = WdsPipeline(
         shards, batch_size, mode="pair",
@@ -181,8 +184,6 @@ def bench_wds(root, batch_size, threads, n_images, native):
         tokenizer=None,  # tokenization is not the bottleneck being measured
         native_decode=native, num_threads=threads,
     )
-    if native and pipe._native_plan() is None:
-        return None
     return _drain(pipe)
 
 

@@ -68,7 +68,7 @@ def test_wds_pipeline_pair_mode(cc3m_shard):
     assert len(b["key"]) == 2
 
 
-def test_wds_pipeline_native_decode_matches_python(cc3m_shard):
+def test_wds_pipeline_native_decode_matches_python(tmp_path):
     """With the real CLIP-KD eval preset, 'auto' routes decoding through the
     native in-memory path (thread-pooled libjpeg) — same keys/texts, images
     equal to the PIL path up to resampler differences."""
@@ -92,10 +92,7 @@ def test_wds_pipeline_native_decode_matches_python(cc3m_shard):
 
     from PIL import Image as _Image
 
-    import tempfile
-
-    tmp = tempfile.mkdtemp()
-    shard = f"{tmp}/smooth.tar"
+    shard = str(tmp_path / "smooth.tar")
     yy, xx = np.mgrid[0:32, 0:40].astype(np.float32)
     with _tarfile.open(shard, "w") as tf:
         for i in range(6):
@@ -154,11 +151,12 @@ def test_wds_pipeline_native_train_deterministic(cc3m_shard):
         _pytest.skip("native loader not built")
     preset = CLIPBcosImageNetClassificationPresetTrain(crop_size=16)
 
-    def run(seed):
+    def run(seed, epoch=0):
         pipe = WdsPipeline(
             [cc3m_shard], batch_size=2, mode="image", transform=preset,
             seed=seed, native_decode=True,
         )
+        pipe.set_epoch(epoch)
         return np.concatenate([b["image"] for b in pipe])
 
     x1, x2, x3 = run(0), run(0), run(1)
@@ -166,6 +164,12 @@ def test_wds_pipeline_native_train_deterministic(cc3m_shard):
     assert float(np.abs(x1 - x3).max()) > 0  # different seed, different crops
     assert x1.shape == (6, 16, 16, 3)
     assert 0.0 <= x1.min() and x1.max() <= 1.0
+    # epochs must not repeat augmentation draws (the fit loops call
+    # set_epoch; a fixed per-sample seed would train on identical crops
+    # every epoch) — and each epoch stays reproducible
+    e1a, e1b = run(0, epoch=1), run(0, epoch=1)
+    np.testing.assert_array_equal(e1a, e1b)
+    assert float(np.abs(x1 - e1a).max()) > 0
 
 
 def test_kd_train_step_tiny(rng):
