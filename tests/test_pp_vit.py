@@ -80,6 +80,33 @@ def test_vit_pipeline_ragged_tail_matches_plain(rng):
     )
 
 
+def test_vitc_conv_stem_pipeline_matches_plain(rng):
+    """ViT-C (conv stem) through the pipelined forward: the replicated stem
+    path (conv2d_layer/norm2d_layer/act_layer factories) must match the plain
+    model too."""
+    from functools import partial
+
+    from bcosification_tpu.modules import BcosConv2d, DetachableGELU, norms
+
+    vit = vit_lib.SimpleViT(
+        image_size=8, patch_size=1, num_classes=10, dim=32, depth=4,
+        heads=4, mlp_dim=64, conv_stem=(8, 16),
+        conv2d_layer=partial(BcosConv2d, b=2),
+        norm2d_layer=partial(norms.DetachableGroupNorm2d, num_groups=4),
+        act_layer=DetachableGELU,
+    )
+    variables = vit.init(jax.random.PRNGKey(0), jnp.ones((1, 8, 8, 6)))
+    mesh = mesh_lib.make_mesh(model_parallel=4)
+    x = jnp.asarray(rng.standard_normal((8, 8, 8, 6)).astype(np.float32))
+    want = jax.jit(lambda v, x: vit.apply(v, x, train=False))(variables, x)
+    got = jax.jit(
+        lambda v, x: pp_vit.vit_pipeline_forward(vit, v, x, mesh)
+    )(variables, x)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6
+    )
+
+
 def test_vit_pipeline_grads_match_plain(rng):
     mesh = mesh_lib.make_mesh(model_parallel=4)
     vit, variables = _tiny_vit()
