@@ -109,6 +109,13 @@ class CheckpointManager:
     def available_checkpoints(self) -> List[int]:
         return sorted(int(e) for e in self._load_index()["epochs"])
 
+    def epoch_metrics(self, epoch: int) -> Dict[str, float]:
+        """Metrics recorded with a saved epoch (e.g. the preemption markers
+        `preempted`/`steps_into_epoch` the fit loops use for exact mid-epoch
+        resume). Empty dict if the epoch is unknown."""
+        entry = self._load_index()["epochs"].get(str(epoch))
+        return dict(entry["metrics"]) if entry else {}
+
     def resolve(self, reload: str = "last") -> Optional[int]:
         """last | best | best_any | epoch_N -> epoch number (None if nothing)."""
         index = self._load_index()

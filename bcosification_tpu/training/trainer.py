@@ -138,12 +138,16 @@ class Trainer:
         (`/root/reference/run_with_submitit.py:46-49` + SLURM's 4-minute
         grace signal): preemptible TPU VMs / queued resources send SIGTERM
         before reclaim; the fit loops notice the flag after the in-flight
-        step, save a 'last' checkpoint (tagged with the interrupted epoch,
-        metrics unscored so top-k stays honest) and return cleanly — the
-        supervisor restarts the same command and `resume=True` picks it up.
-        Unlike the reference (PL saves last.ckpt only at epoch end, so a
-        requeue discards the partial epoch), the mid-epoch optimizer state
-        survives. Multi-host: the save gathers sharded state — a collective
+        step, save a 'last' checkpoint (tagged with the interrupted epoch +
+        `steps_into_epoch`, metrics unscored so top-k stays honest) and
+        return cleanly — the supervisor restarts the same command and
+        `resume=True` redoes the interrupted epoch from exactly that step
+        (the loaders are deterministic per set_epoch, so fast-forwarding
+        skips the already-trained batches: no sample lost or double-trained;
+        the resumed trajectory is bit-identical to an uninterrupted run,
+        tested). The reference's requeue (PL saves last.ckpt at epoch end)
+        discards the whole partial epoch. Multi-host: the save gathers
+        sharded state — a collective
         every process joins — so supervisors must signal ALL processes (the
         normal preemption behaviour for a whole slice).
 
@@ -367,13 +371,26 @@ class Trainer:
         )
 
         # resume (training.py:82-89); --force-no-resume (ref train.py:40-46)
-        # starts from scratch even when a last checkpoint exists
+        # starts from scratch even when a last checkpoint exists. A
+        # preemption checkpoint resumes EXACTLY: redo the interrupted epoch,
+        # fast-forwarding the (deterministic per set_epoch) loader past the
+        # already-trained steps — no sample skipped or double-trained.
         start_epoch = 0
+        skip_steps = 0
         if resume:
             restored, last_epoch = self.ckpt.restore(state, "last")
             if restored is not None:
-                state, start_epoch = restored, last_epoch + 1
-                print(f"Resuming from epoch {last_epoch}")
+                m = self.ckpt.epoch_metrics(last_epoch)
+                if m.get("preempted"):
+                    state, start_epoch = restored, last_epoch
+                    skip_steps = int(m.get("steps_into_epoch", 0))
+                    print(
+                        f"Resuming mid-epoch {last_epoch} "
+                        f"(fast-forwarding {skip_steps} steps)"
+                    )
+                else:
+                    state, start_epoch = restored, last_epoch + 1
+                    print(f"Resuming from epoch {last_epoch}")
 
         state = self._place_state(state)
 
@@ -417,7 +434,12 @@ class Trainer:
             t0 = time.time()
             train_loader.set_epoch(epoch)
             losses, accs, n_steps = [], [], 0
+            skipped = skip_steps if epoch == start_epoch else 0
+            skip_left = skipped
             for batch in train_loader:
+                if skip_left:  # fast-forward a preempted epoch (the loader
+                    skip_left -= 1  # still decodes; training is skipped)
+                    continue
                 if self._preempt_requested:
                     break
                 batch = mesh_lib.shard_batch(batch, self.mesh)
@@ -437,7 +459,7 @@ class Trainer:
                 # fetch syncs the device, so only every N steps
                 if (self.loggers and self._log_every_n_steps
                         and n_steps % self._log_every_n_steps == 0):
-                    gstep = epoch * steps_per_epoch + n_steps
+                    gstep = epoch * steps_per_epoch + skipped + n_steps
                     step_metrics = {
                         "train_loss_step": float(metrics["loss"]),
                         "lr": float(schedule(state.step))
@@ -458,11 +480,14 @@ class Trainer:
                 profile_window = None
             if self._preempt_requested:
                 self.ckpt.save(
-                    self._host_state(state), epoch, {"preempted": 1.0}
+                    self._host_state(state), epoch,
+                    {"preempted": 1.0,
+                     "steps_into_epoch": float(skipped + n_steps)},
                 )
                 print(
-                    f"preempted during epoch {epoch} after {n_steps} steps: "
-                    f"'last' checkpoint saved; resume with the same command"
+                    f"preempted during epoch {epoch} after "
+                    f"{skipped + n_steps} steps: 'last' checkpoint saved; "
+                    f"resume with the same command"
                 )
                 break
             if not losses:
@@ -565,11 +590,21 @@ class Trainer:
         state = steps_lib.create_train_state(variables, tx)
 
         start_epoch = 0
+        skip_steps = 0
         if resume:
             restored, last_epoch = self.ckpt.restore(state, "last")
             if restored is not None:
-                state, start_epoch = restored, last_epoch + 1
-                print(f"Resuming from epoch {last_epoch}")
+                m = self.ckpt.epoch_metrics(last_epoch)
+                if m.get("preempted"):  # exact mid-epoch resume (see fit())
+                    state, start_epoch = restored, last_epoch
+                    skip_steps = int(m.get("steps_into_epoch", 0))
+                    print(
+                        f"Resuming mid-epoch {last_epoch} "
+                        f"(fast-forwarding {skip_steps} steps)"
+                    )
+                else:
+                    state, start_epoch = restored, last_epoch + 1
+                    print(f"Resuming from epoch {last_epoch}")
         state = self._place_state(state)
 
         @jax.jit
@@ -603,7 +638,12 @@ class Trainer:
             if hasattr(train_loader, "set_epoch"):
                 train_loader.set_epoch(epoch)
             losses = []
+            skipped = skip_steps if epoch == start_epoch else 0
+            skip_left = skipped
             for batch in train_loader:
+                if skip_left:  # fast-forward a preempted epoch
+                    skip_left -= 1
+                    continue
                 if self._preempt_requested:
                     break
                 batch = {"image": batch["image"]}
@@ -635,12 +675,14 @@ class Trainer:
                 profile_window = None
             if self._preempt_requested:
                 self.ckpt.save(
-                    self._host_state(state), epoch, {"preempted": 1.0}
+                    self._host_state(state), epoch,
+                    {"preempted": 1.0,
+                     "steps_into_epoch": float(skipped + len(losses))},
                 )
                 print(
-                    f"preempted during epoch {epoch} after {len(losses)} "
-                    f"steps: 'last' checkpoint saved; resume with the same "
-                    f"command"
+                    f"preempted during epoch {epoch} after "
+                    f"{skipped + len(losses)} steps: 'last' checkpoint "
+                    f"saved; resume with the same command"
                 )
                 break
             train_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")

@@ -371,14 +371,23 @@ def test_trainer_preemption_checkpoint_and_resume(tmp_path):
     # the last one taken — 4 batches/epoch, so we stopped inside epoch 0
     assert int(state.step) == 2
     assert signal.getsignal(signal.SIGTERM) is before, "handler not restored"
-    ckpts = trainer.ckpt.available_checkpoints()
-    assert ckpts, "no preemption checkpoint written"
+    assert trainer.ckpt.epoch_metrics(0).get("steps_into_epoch") == 2.0
 
-    # the supervisor reruns the same command: resume skips the interrupted
-    # epoch 0 and trains epochs 1..4 (4 epochs x 4 batches on top of step 2)
+    # the supervisor reruns the same command: resume fast-forwards the
+    # deterministic loader to step 2 of epoch 0 and completes all 5 epochs —
+    # every batch trained exactly once
     trainer2 = Trainer(exp)
     state2 = trainer2.fit(model, variables, dm, max_epochs=5)
-    assert int(state2.step) == 2 + 4 * 4
+    assert int(state2.step) == 5 * 4
+
+    # the preempted+resumed trajectory is BIT-IDENTICAL to an uninterrupted
+    # run (same batch sequence, same step programs, deterministic CPU exec)
+    exp_b = _fake_experiment(tmp_path / "baseline")
+    state_b = Trainer(exp_b).fit(model, variables, dm, max_epochs=5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        jax.device_get(state2.params), jax.device_get(state_b.params),
+    )
 
 
 def test_eval_deterministic(tmp_path):
