@@ -142,10 +142,14 @@ class Trainer:
         `steps_into_epoch`, metrics unscored so top-k stays honest) and
         return cleanly — the supervisor restarts the same command and
         `resume=True` redoes the interrupted epoch from exactly that step
-        (the loaders are deterministic per set_epoch, so fast-forwarding
-        skips the already-trained batches: no sample lost or double-trained;
-        the resumed trajectory is bit-identical to an uninterrupted run,
-        tested). The reference's requeue (PL saves last.ckpt at epoch end)
+        (sample ORDER is deterministic per set_epoch, so fast-forwarding
+        skips the already-trained batches: no sample lost or double-trained).
+        With seeded augmentation draws (the native loader, WdsPipeline, or a
+        deterministic pipeline as in the test) the resumed trajectory is
+        bit-identical to an uninterrupted run; the PIL transforms draw fresh
+        entropy per call, so there only the sample sequence — not the random
+        crops — is reproduced. The reference's requeue (PL saves last.ckpt
+        at epoch end)
         discards the whole partial epoch. Multi-host: the save gathers
         sharded state — a collective
         every process joins — so supervisors must signal ALL processes (the
@@ -377,17 +381,32 @@ class Trainer:
         # already-trained steps — no sample skipped or double-trained.
         start_epoch = 0
         skip_steps = 0
+        was_restored = False
         if resume:
             restored, last_epoch = self.ckpt.restore(state, "last")
             if restored is not None:
+                was_restored = True
                 m = self.ckpt.epoch_metrics(last_epoch)
-                if m.get("preempted"):
+                # exact mid-epoch resume needs the recorded step position; a
+                # pre-upgrade preemption checkpoint lacks it — fall back to
+                # the old epoch-boundary semantics rather than double-train
+                # the epoch's prefix on mid-epoch optimizer state
+                if m.get("preempted") and m.get("steps_into_epoch") is not None:
                     state, start_epoch = restored, last_epoch
-                    skip_steps = int(m.get("steps_into_epoch", 0))
-                    print(
-                        f"Resuming mid-epoch {last_epoch} "
-                        f"(fast-forwarding {skip_steps} steps)"
-                    )
+                    skip_steps = int(m["steps_into_epoch"])
+                    if skip_steps >= steps_per_epoch:
+                        # the record covers the whole epoch (a pre-upgrade
+                        # tail-step preemption, or the dataset shrank): it
+                        # was fully trained and only lacked validation —
+                        # fast-forwarding it would log a NaN-metrics epoch
+                        start_epoch, skip_steps = last_epoch + 1, 0
+                        print(f"Resuming from epoch {last_epoch} (preempted "
+                              f"after its last step)")
+                    else:
+                        print(
+                            f"Resuming mid-epoch {last_epoch} "
+                            f"(fast-forwarding {skip_steps} steps)"
+                        )
                 else:
                     state, start_epoch = restored, last_epoch + 1
                     print(f"Resuming from epoch {last_epoch}")
@@ -397,9 +416,11 @@ class Trainer:
         # ImageNetEval (ref trainer.py:1090-1103): evaluate the freshly
         # converted model on the validation split BEFORE any training — the
         # conversion-quality metric (a b=1 conversion must start at the
-        # pretrained model's accuracy). Skipped on resume and in KD (which
-        # has its own zeroshot eval), like the reference.
-        if start_epoch == 0 and not fast_dev_run:
+        # pretrained model's accuracy). Skipped on resume — including a
+        # mid-epoch-0 preemption resume, where start_epoch is still 0 but
+        # the weights are no longer the conversion — and in KD (which has
+        # its own zeroshot eval), like the reference.
+        if start_epoch == 0 and not was_restored and not fast_dev_run:
             init_metrics = self.validate(eval_step, state, datamodule)
             if init_metrics:
                 print(
@@ -436,12 +457,14 @@ class Trainer:
             losses, accs, n_steps = [], [], 0
             skipped = skip_steps if epoch == start_epoch else 0
             skip_left = skipped
+            interrupted = False  # preempted strictly mid-epoch
             for batch in train_loader:
+                if self._preempt_requested:  # checked before the skip so a
+                    interrupted = True  # 2nd SIGTERM during a long
+                    break  # fast-forward still exits promptly
                 if skip_left:  # fast-forward a preempted epoch (the loader
-                    skip_left -= 1  # still decodes; training is skipped)
-                    continue
-                if self._preempt_requested:
-                    break
+                    skip_left -= 1  # still decodes; training is skipped —
+                    continue  # simple and exact; decode-only cost
                 batch = mesh_lib.shard_batch(batch, self.mesh)
                 if profile_window and n_steps == profile_window[0]:
                     jax.profiler.start_trace(profile_dir)
@@ -478,20 +501,27 @@ class Trainer:
                     jax.profiler.stop_trace()
                     print(f"profiler trace written to {profile_dir}")
                 profile_window = None
-            if self._preempt_requested:
+            if interrupted:
+                # SIGTERM after the epoch's LAST step leaves interrupted
+                # False: the epoch then completes normally (validation +
+                # scored checkpoint) and the post-save break below exits —
+                # a resumed run must never fast-forward a whole epoch into
+                # empty (NaN) metrics
+                done = (skipped - skip_left) + n_steps
                 self.ckpt.save(
                     self._host_state(state), epoch,
-                    {"preempted": 1.0,
-                     "steps_into_epoch": float(skipped + n_steps)},
+                    {"preempted": 1.0, "steps_into_epoch": float(done)},
                 )
                 print(
-                    f"preempted during epoch {epoch} after "
-                    f"{skipped + n_steps} steps: 'last' checkpoint saved; "
-                    f"resume with the same command"
+                    f"preempted during epoch {epoch} after {done} steps: "
+                    f"'last' checkpoint saved; resume with the same command"
                 )
                 break
             if not losses:
                 print(
+                    f"note: fast-forward consumed every batch of epoch "
+                    f"{epoch} (loader shrank below the preemption record?); "
+                    f"validation only" if skipped else
                     "WARNING: train loader yielded no batches — dataset "
                     "smaller than batch_size with drop_last=True? Metrics "
                     "for this epoch are NaN."
@@ -529,6 +559,14 @@ class Trainer:
             ):
                 self._log_explanations(model, state, datamodule, epoch)
 
+            if self._preempt_requested:  # raised during the final step or
+                # validation: the epoch completed and is checkpointed
+                # normally — resume continues at the next epoch
+                print(
+                    f"preempted at the end of epoch {epoch}: checkpoint "
+                    f"saved; resume with the same command"
+                )
+                break
             if fast_dev_run:
                 break
         restore_sigterm()
@@ -595,13 +633,22 @@ class Trainer:
             restored, last_epoch = self.ckpt.restore(state, "last")
             if restored is not None:
                 m = self.ckpt.epoch_metrics(last_epoch)
-                if m.get("preempted"):  # exact mid-epoch resume (see fit())
+                # exact mid-epoch resume (see fit()); pre-upgrade preemption
+                # checkpoints lack the step position -> epoch-boundary resume
+                if m.get("preempted") and m.get("steps_into_epoch") is not None:
                     state, start_epoch = restored, last_epoch
-                    skip_steps = int(m.get("steps_into_epoch", 0))
-                    print(
-                        f"Resuming mid-epoch {last_epoch} "
-                        f"(fast-forwarding {skip_steps} steps)"
-                    )
+                    skip_steps = int(m["steps_into_epoch"])
+                    if (hasattr(train_loader, "__len__")
+                            and skip_steps >= len(train_loader) > 0):
+                        # whole epoch already trained (see fit())
+                        start_epoch, skip_steps = last_epoch + 1, 0
+                        print(f"Resuming from epoch {last_epoch} (preempted "
+                              f"after its last step)")
+                    else:
+                        print(
+                            f"Resuming mid-epoch {last_epoch} "
+                            f"(fast-forwarding {skip_steps} steps)"
+                        )
                 else:
                     state, start_epoch = restored, last_epoch + 1
                     print(f"Resuming from epoch {last_epoch}")
@@ -640,12 +687,14 @@ class Trainer:
             losses = []
             skipped = skip_steps if epoch == start_epoch else 0
             skip_left = skipped
+            interrupted = False  # preempted strictly mid-epoch (see fit())
             for batch in train_loader:
+                if self._preempt_requested:
+                    interrupted = True
+                    break
                 if skip_left:  # fast-forward a preempted epoch
                     skip_left -= 1
                     continue
-                if self._preempt_requested:
-                    break
                 batch = {"image": batch["image"]}
                 batch = mesh_lib.shard_batch(batch, self.mesh)
                 if profile_window and len(losses) == profile_window[0]:
@@ -673,16 +722,15 @@ class Trainer:
                     jax.profiler.stop_trace()
                     print(f"profiler trace written to {profile_dir}")
                 profile_window = None
-            if self._preempt_requested:
+            if interrupted:
+                done = (skipped - skip_left) + len(losses)
                 self.ckpt.save(
                     self._host_state(state), epoch,
-                    {"preempted": 1.0,
-                     "steps_into_epoch": float(skipped + len(losses))},
+                    {"preempted": 1.0, "steps_into_epoch": float(done)},
                 )
                 print(
-                    f"preempted during epoch {epoch} after "
-                    f"{skipped + len(losses)} steps: 'last' checkpoint "
-                    f"saved; resume with the same command"
+                    f"preempted during epoch {epoch} after {done} steps: "
+                    f"'last' checkpoint saved; resume with the same command"
                 )
                 break
             train_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
@@ -714,6 +762,13 @@ class Trainer:
             if self.args.get("debug"):
                 # student must update, frozen teacher must not (FreezeTeacher)
                 print(f"  student params hash: {self.param_hash(state.params)}")
+            if self._preempt_requested:  # raised during the final step or
+                # validation — epoch checkpointed normally (see fit())
+                print(
+                    f"preempted at the end of epoch {epoch}: checkpoint "
+                    f"saved; resume with the same command"
+                )
+                break
             if fast_dev_run:
                 break
         restore_sigterm()

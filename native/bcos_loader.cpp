@@ -371,7 +371,7 @@ extern "C" {
 // fresh checkout gives every file the same mtime, so `make` alone cannot
 // detect staleness (this exact failure shipped a pre-reorder-buffer binary
 // in round 2 — eval batches came out of submission order).
-int bcos_loader_abi_version() { return 3; }
+int bcos_loader_abi_version() { return 4; }
 
 void* bcos_loader_create(const char** paths, const int32_t* labels, int n,
                          int out_size, int resize_size, int batch, int threads,

@@ -69,9 +69,10 @@ def test_wds_pipeline_pair_mode(cc3m_shard):
 
 
 def test_wds_pipeline_native_decode_matches_python(tmp_path):
-    """With the real CLIP-KD eval preset, 'auto' routes decoding through the
-    native in-memory path (thread-pooled libjpeg) — same keys/texts, images
-    equal to the PIL path up to resampler differences."""
+    """With the real CLIP-KD eval preset, native_decode=True (strict) routes
+    decoding through the native in-memory path (thread-pooled libjpeg) while
+    'auto' keeps eval on PIL for parity — same keys/texts, images equal to
+    the PIL path up to resampler differences."""
     import pytest as _pytest
 
     from bcosification_tpu.clip.tokenizer import tokenize

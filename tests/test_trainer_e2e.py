@@ -389,6 +389,45 @@ def test_trainer_preemption_checkpoint_and_resume(tmp_path):
         jax.device_get(state2.params), jax.device_get(state_b.params),
     )
 
+    # SIGTERM landing on the epoch's LAST step: the epoch completes
+    # normally (scored checkpoint, no NaN metrics) and resume starts at the
+    # NEXT epoch — never a whole-epoch fast-forward into empty metrics
+    exp_c = _fake_experiment(tmp_path / "tail")
+    trainer_c = Trainer(exp_c, {"log_every_n_steps": 4})  # fires at step 4/4
+    sent.clear()
+    trainer_c.loggers = [Preempter()]
+    state_c = trainer_c.fit(model, variables, dm, max_epochs=5)
+    assert int(state_c.step) == 4  # epoch 0 fully trained
+    mets = trainer_c.ckpt.epoch_metrics(0)
+    assert "preempted" not in mets and np.isfinite(mets.get("train_loss"))
+    trainer_c2 = Trainer(exp_c)
+    state_c2 = trainer_c2.fit(model, variables, dm, max_epochs=2)
+    assert int(state_c2.step) == 8  # resumed at epoch 1
+
+    # a pre-upgrade preemption checkpoint (no steps_into_epoch) falls back
+    # to epoch-boundary resume instead of double-training the prefix
+    idx_path = exp_c.save_dir / "checkpoints" / "index.json"
+    import json as _json
+
+    idx = _json.loads(idx_path.read_text())
+    idx["epochs"][str(idx["last"])]["metrics"] = {"preempted": 1.0}
+    idx_path.write_text(_json.dumps(idx))
+    trainer_c3 = Trainer(exp_c)
+    state_c3 = trainer_c3.fit(model, variables, dm, max_epochs=3)
+    assert int(state_c3.step) == 12  # epoch 2 only: resumed AFTER epoch 1
+
+    # a preemption record covering the WHOLE epoch (pre-upgrade tail-step
+    # save) means the epoch is fully trained: resume at the next epoch, no
+    # NaN-metrics fast-forward
+    idx = _json.loads(idx_path.read_text())
+    idx["epochs"][str(idx["last"])]["metrics"] = {
+        "preempted": 1.0, "steps_into_epoch": 4.0,  # == steps_per_epoch
+    }
+    idx_path.write_text(_json.dumps(idx))
+    state_c4 = Trainer(exp_c).fit(model, variables, dm, max_epochs=4)
+    assert int(state_c4.step) == 16  # exactly one more epoch trained
+    assert np.isfinite(Trainer(exp_c).ckpt.epoch_metrics(3).get("train_loss"))
+
 
 def test_eval_deterministic(tmp_path):
     """evaluate.py:74-75 determinism contract: identical logits across runs."""
