@@ -322,12 +322,26 @@ class CC3MDataModule(ClassificationDataModule):
         assert root, "Set CC3M_PATH"
         from bcosification_tpu.clip.tokenizer import tokenize
 
-        def shards(pattern):
-            return expand_shard_pattern(os.path.join(root, pattern))
+        def shards(pattern, split=False):
+            out = expand_shard_pattern(os.path.join(root, pattern))
+            if split and self.config.get("split_shards_by_process", False):
+                # multi-host input scaling (opt-in): each host streams only
+                # its own train shards and feeds the global batch via
+                # mesh.shard_batch_local — wds split_by_worker semantics
+                # (ref cc3m.py:75-103). Validation stays replicated so every
+                # host computes identical val metrics.
+                import jax
+
+                pi, pc = jax.process_index(), jax.process_count()
+                assert len(out) >= pc, (
+                    f"{len(out)} shards cannot cover {pc} processes"
+                )
+                out = out[pi::pc]
+            return out
 
         if stage in (None, "fit", "train"):
             self.train_dataset = WdsPipeline(
-                shards(self.TRAIN_SHARDS),
+                shards(self.TRAIN_SHARDS, split=True),
                 self.batch_size,
                 mode="pair",
                 transform=self.config["train_transform"],

@@ -20,6 +20,7 @@ __all__ = [
     "data_sharding",
     "replicated_sharding",
     "shard_batch",
+    "shard_batch_local",
     "replicate",
     "local_device_count",
     "is_main_process",
@@ -81,6 +82,35 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
         if np.ndim(x) == 0 or np.shape(x)[0] % n_data != 0:
             return jax.device_put(x, replicated_sharding(mesh))
         return jax.device_put(x, data_sharding(mesh, np.ndim(x)))
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def shard_batch_local(batch: Any, mesh: Mesh) -> Any:
+    """Assemble a GLOBAL batch from per-process LOCAL slices.
+
+    Multi-host input scaling: each host loads only its own part of the data
+    (e.g. CC3M shards split by process, `data.split_shards_by_process`) and
+    passes its local batch here; `jax.make_array_from_process_local_data`
+    stitches the global array without any host ever materialising it — the
+    reference gets the same division of labour from DistributedSampler /
+    wds split_by_worker. The global batch axis is local_batch x
+    process_count, so configure batch_size per host.
+
+    Single-process this is exactly `shard_batch` (tested equal), so code can
+    use it unconditionally. Local batch axes must divide the per-process
+    data-axis extent; ragged tails should stay on the replicated
+    `shard_batch` path (which every process can feed identically).
+    """
+    if jax.process_count() == 1:
+        return shard_batch(batch, mesh)
+
+    def put(x):
+        if np.ndim(x) == 0:
+            return jax.device_put(x, replicated_sharding(mesh))
+        return jax.make_array_from_process_local_data(
+            data_sharding(mesh, np.ndim(x)), np.asarray(x)
+        )
 
     return jax.tree_util.tree_map(put, batch)
 

@@ -679,6 +679,17 @@ class Trainer:
         if profile_dir and self._io_process:
             profile_window = (0, 0) if fast_dev_run else (3, 8)
 
+        # opt-in multi-host input scaling: with per-process train shards
+        # (data.split_shards_by_process) each host's batch is a LOCAL slice
+        # of the global batch — stitch with shard_batch_local; otherwise
+        # every host yields the identical global batch (shard_batch)
+        split_local = bool(
+            config.get("data", {}).get("split_shards_by_process", False)
+        )
+        put_train = (
+            mesh_lib.shard_batch_local if split_local else mesh_lib.shard_batch
+        )
+
         restore_sigterm = self._install_preemption_handler()
         for epoch in range(start_epoch, max_epochs):
             t0 = time.time()
@@ -696,7 +707,7 @@ class Trainer:
                     skip_left -= 1
                     continue
                 batch = {"image": batch["image"]}
-                batch = mesh_lib.shard_batch(batch, self.mesh)
+                batch = put_train(batch, self.mesh)
                 if profile_window and len(losses) == profile_window[0]:
                     jax.profiler.start_trace(profile_dir)
                 state, metrics = train_step(state, batch)

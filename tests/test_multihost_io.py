@@ -77,3 +77,76 @@ def test_run_distributed_fails_loudly():
     assert run_distributed.initialize_distributed(
         argv=["prog"], _initialize=lambda: None
     ) is False
+
+
+def test_shard_batch_local_single_process_equals_shard_batch(rng):
+    """shard_batch_local is the drop-in multi-host input-scaling entry: at
+    process_count 1 it must place batches exactly like shard_batch."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from bcosification_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.make_mesh()
+    batch = {
+        "image": jnp.asarray(rng.random((16, 4, 4, 3)).astype(np.float32)),
+        "label": jnp.arange(16, dtype=jnp.int32),
+        "scale": jnp.float32(2.0),
+    }
+    a = mesh_lib.shard_batch(batch, mesh)
+    b = mesh_lib.shard_batch_local(batch, mesh)
+    for k in batch:
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+        assert a[k].sharding == b[k].sharding, k
+
+
+def test_cc3m_split_shards_by_process(tmp_path, monkeypatch):
+    """data.split_shards_by_process partitions the TRAIN shard list across
+    processes (disjoint cover, wds split_by_worker semantics); validation
+    stays replicated; too few shards fail loudly."""
+    import jax
+
+    from bcosification_tpu.data.cc3m import CC3MDataModule
+
+    # a fake shard tree: 8 training tars + the 2 validation tars
+    (tmp_path / "training").mkdir()
+    (tmp_path / "validation").mkdir()
+    for i in range(8):
+        (tmp_path / "training" / f"{i:05d}.tar").touch()
+    for i in range(2):
+        (tmp_path / "validation" / f"{i:05d}.tar").touch()
+
+    class SplitTestDataModule(CC3MDataModule):
+        TRAIN_SHARDS = "training/{00000..00007}.tar"
+        VAL_SHARDS = "validation/{00000..00001}.tar"
+
+    cfg = dict(
+        data_root=str(tmp_path), batch_size=2, num_workers=0,
+        split_shards_by_process=True,
+        train_transform=None, test_transform=None,
+    )
+    monkeypatch.setattr(jax, "process_count", lambda: 4)
+    seen = []
+    for pi in range(4):
+        monkeypatch.setattr(jax, "process_index", lambda pi=pi: pi)
+        dm = SplitTestDataModule(cfg)
+        dm.setup("fit")
+        seen.append(list(dm.train_dataset.shards))
+        assert len(dm.eval_dataset.shards) == 2  # val replicated
+    flat = [s for part in seen for s in part]
+    assert len(flat) == 8 and len(set(flat)) == 8  # disjoint cover
+    # off: every process sees every shard
+    dm_all = SplitTestDataModule(dict(cfg, split_shards_by_process=False))
+    dm_all.setup("fit")
+    assert len(dm_all.train_dataset.shards) == 8
+
+    # fewer shards than processes is a loud error, not silent starvation
+    monkeypatch.setattr(jax, "process_count", lambda: 16)
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    dm_bad = SplitTestDataModule(cfg)
+    try:
+        dm_bad.setup("fit")
+        assert False, "expected AssertionError"
+    except AssertionError as e:
+        assert "shards" in str(e)
