@@ -182,10 +182,28 @@ class ClassificationDataModule:
         return collate_fn
 
     def get_train_sampler(self, seed: int = 0):
+        # multi-host input scaling (opt-in, see docs/SCALING.md): each host
+        # samples only its 1/process_count of the train set and the fit loop
+        # stitches the global batch with mesh.shard_batch_local — the
+        # reference's DistributedSampler division of labour. Off (default):
+        # every host draws the identical global batch.
+        rank, world = 0, 1
+        if self.config.get("split_by_process", False):
+            import jax
+
+            rank, world = jax.process_index(), jax.process_count()
         ra_reps = self.config.get("ra_repetitions", None)
         if ra_reps is not None:
             return RASampler(
-                self.train_dataset, shuffle=True, seed=seed, repetitions=ra_reps
+                self.train_dataset, num_replicas=world, rank=rank,
+                shuffle=True, seed=seed, repetitions=ra_reps,
+            )
+        if world > 1:
+            # plain per-process split = repeated-augmentation sampler with
+            # repetitions=1 (each sample once per epoch, rank-strided)
+            return RASampler(
+                self.train_dataset, num_replicas=world, rank=rank,
+                shuffle=True, seed=seed, repetitions=1,
             )
         return None
 

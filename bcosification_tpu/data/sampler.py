@@ -34,9 +34,16 @@ class RASampler:
             math.ceil(len(dataset) * float(repetitions) / num_replicas)
         )
         self.total_size = self.num_samples * num_replicas
-        self.num_selected_samples = int(
-            math.floor(len(dataset) // 256 * 256 / num_replicas)
-        )
+        if repetitions == 1:
+            # plain per-process split (data.split_by_process): every sample
+            # exactly once per epoch — the reference's 256-truncation is an
+            # RA artifact (it selects a subset of the repeated stream,
+            # sampler.py:37-39) and would zero out small datasets here
+            self.num_selected_samples = self.num_samples
+        else:
+            self.num_selected_samples = int(
+                math.floor(len(dataset) // 256 * 256 / num_replicas)
+            )
         self.shuffle = shuffle
         self.seed = seed
         self.repetitions = repetitions

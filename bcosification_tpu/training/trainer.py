@@ -450,6 +450,15 @@ class Trainer:
                     f"{profile_window[0]}-{profile_window[1]} incl. compile"
                 )
 
+        # opt-in multi-host input scaling (docs/SCALING.md): with a
+        # per-process train sampler (data.split_by_process) each host's
+        # batch is a LOCAL slice of the global batch
+        put_train = (
+            mesh_lib.shard_batch_local
+            if config.get("data", {}).get("split_by_process", False)
+            else mesh_lib.shard_batch
+        )
+
         restore_sigterm = self._install_preemption_handler()
         for epoch in range(start_epoch, max_epochs):
             t0 = time.time()
@@ -465,7 +474,7 @@ class Trainer:
                 if skip_left:  # fast-forward a preempted epoch (the loader
                     skip_left -= 1  # still decodes; training is skipped —
                     continue  # simple and exact; decode-only cost
-                batch = mesh_lib.shard_batch(batch, self.mesh)
+                batch = put_train(batch, self.mesh)
                 if profile_window and n_steps == profile_window[0]:
                     jax.profiler.start_trace(profile_dir)
                 state, metrics = train_step(state, batch)

@@ -150,3 +150,46 @@ def test_cc3m_split_shards_by_process(tmp_path, monkeypatch):
         assert False, "expected AssertionError"
     except AssertionError as e:
         assert "shards" in str(e)
+
+
+def test_imagenet_sampler_split_by_process(monkeypatch):
+    """data.split_by_process gives each host a disjoint 1/process_count of
+    the supervised train set (rank-strided, repetitions=1); off -> no
+    sampler (every host identical)."""
+    import jax
+
+    from bcosification_tpu.data.datamodules import ClassificationDataModule
+
+    class SamplerTestDataModule(ClassificationDataModule):
+        NUM_CLASSES = 4
+
+        def setup(self, stage=None):
+            self.train_dataset = list(range(103))  # non-multiple of world
+
+    monkeypatch.setattr(jax, "process_count", lambda: 4)
+    seen = []
+    for pi in range(4):
+        monkeypatch.setattr(jax, "process_index", lambda pi=pi: pi)
+        dm = SamplerTestDataModule(dict(
+            batch_size=2, num_workers=0, split_by_process=True,
+            train_transform=None, test_transform=None,
+        ))
+        dm.setup()
+        sampler = dm.get_train_sampler(seed=0)
+        assert sampler is not None and sampler.rank == pi
+        seen.append(list(iter(sampler)))
+    # same-seed shuffles partition the (padded) index space disjointly
+    flat = [i for part in seen for i in part]
+    assert len(set(flat)) >= 100  # covers (nearly) the whole dataset
+    lens = {len(p) for p in seen}
+    assert len(lens) == 1  # equal per-host share
+    for a in range(4):
+        for b in range(a + 1, 4):
+            assert not (set(seen[a]) & set(seen[b])) or len(flat) > len(set(flat))
+
+    dm_off = SamplerTestDataModule(dict(
+        batch_size=2, num_workers=0,
+        train_transform=None, test_transform=None,
+    ))
+    dm_off.setup()
+    assert dm_off.get_train_sampler(seed=0) is None
