@@ -69,8 +69,23 @@ def main():
     specs = tp.tp_param_specs(state)
     print("TP  loss:", one_step(tp_mesh, fsdp.shard_state(state, tp_mesh, specs)))
 
+    # 4. PP (dp=4 x pipe=2): the encoder stack as a GPipe pipeline — same
+    # step builder, the model is just wrapped (trainer.pipeline_parallel)
+    from bcosification_tpu.parallel.pp_vit import PipelinedViT
+
+    pp_mesh = mesh_lib.make_mesh(pipeline_parallel=2)
+    pp_step = steps.make_train_step(
+        PipelinedViT(model, pp_mesh), UniformOffLabelsBCEWithLogitsLoss(), tx
+    )
+    state = steps.create_train_state(variables, tx)
+    _, metrics = pp_step(
+        mesh_lib.replicate(state, pp_mesh), mesh_lib.shard_batch(batch, pp_mesh)
+    )
+    print("PP  loss:", float(metrics["loss"]))
+
     print("identical losses == same math, different layouts; in training "
-          "runs these are the config keys trainer.fsdp / trainer.model_parallel")
+          "runs these are the config keys trainer.fsdp / "
+          "trainer.model_parallel / trainer.pipeline_parallel")
 
 
 if __name__ == "__main__":

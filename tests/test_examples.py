@@ -33,6 +33,7 @@ def test_scaling_demo(tmp_path):
     assert r.returncode == 0, r.stderr[-800:]
     losses = [
         float(line.split(":")[1]) for line in r.stdout.splitlines()
-        if line.split(":")[0].strip() in ("DP  loss", "FSDP loss", "TP  loss")
+        if line.split(":")[0].strip()
+        in ("DP  loss", "FSDP loss", "TP  loss", "PP  loss")
     ]
-    assert len(losses) == 3 and max(losses) - min(losses) < 1e-5, r.stdout
+    assert len(losses) == 4 and max(losses) - min(losses) < 1e-5, r.stdout
