@@ -117,8 +117,13 @@ class OptimizerFactory:
         return type(self)(name=self.name, lr=lr, **args)
 
     def with_args(self, **kwargs):
+        """Copy with extra/overridden kwargs — existing args (momentum,
+        weight_decay, ...) are KEPT, not discarded."""
         assert "lr" not in kwargs and "name" not in kwargs
-        return type(self)(name=self.name, lr=self.args["lr"], **kwargs)
+        args = copy.deepcopy(self.args)
+        lr = args.pop("lr")
+        args.update(kwargs)
+        return type(self)(name=self.name, lr=lr, **args)
 
     @property
     def lr(self) -> float:

@@ -60,6 +60,10 @@ def _masked_crc(data: bytes) -> int:
 
 # -- minimal protobuf wire encoding -------------------------------------------
 def _varint(value: int) -> bytes:
+    # negative >>7 never reaches 0 in Python (sign-extending shift): an
+    # accidental -1 step would loop forever growing the buffer — fail loudly
+    if value < 0:
+        raise ValueError(f"varint requires a non-negative value, got {value}")
     out = bytearray()
     while True:
         bits = value & 0x7F
@@ -197,6 +201,7 @@ class WandbLogger:
     def __init__(self, save_dir, project: Optional[str] = None,
                  run_id: Optional[str] = None, config: Optional[Dict] = None,
                  name: Optional[str] = None):
+        self._atexit_registered = False
         try:
             import wandb
         except ImportError:
@@ -233,8 +238,15 @@ class WandbLogger:
             self._run.config.update(sanitize_config(config), allow_val_change=True)
 
     def finalize(self):
-        if self._run is not None:
-            self._run.finish()
+        # A Trainer keeps its loggers across fit() calls (resume patterns —
+        # see TensorBoardLogger.finalize), so do NOT finish the run here: a
+        # finished wandb run rejects/drops all later logs. The run is closed
+        # once, at interpreter exit.
+        if self._run is not None and not self._atexit_registered:
+            import atexit
+
+            atexit.register(self._run.finish)
+            self._atexit_registered = True
 
 
 def setup_loggers(trainer_config: Dict, save_dir) -> List:

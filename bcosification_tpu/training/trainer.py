@@ -32,7 +32,7 @@ from bcosification_tpu.training.ema import adjusted_ema_decay
 __all__ = ["run_training", "build_train_state_template", "Trainer"]
 
 
-def _make_optimizers(experiment, params, steps_per_epoch: int):
+def _make_optimizers(experiment, params, steps_per_epoch: int, dp_world: int = 1):
     """Build (tx, b_tx, log_schedule) from the experiment config.
 
     ``trainer.accumulate_grad_batches`` (the reference's PL kwarg, consumed in
@@ -60,11 +60,13 @@ def _make_optimizers(experiment, params, steps_per_epoch: int):
     b_tx = None
     bargs = config.get("model", {}).get("bcosify_args", {}) or {}
     if bargs.get("manual_optim", False):
-        # auxiliary SGD over the learnable b params; lr scaled by world size
-        # (bcosify_trainer.py:88-107)
+        # auxiliary SGD over the learnable b params; the reference scales its
+        # lr by the DP world size (num_gpus, bcosify_trainer.py:88-107) —
+        # here that is the mesh's 'data' axis extent, passed by the Trainer
+        # (1 for shape-only template builds, where lr doesn't matter)
         b_opt_factory = config.get("b_optimizer", opt_factory.with_name("sgd"))
         b_tx = b_opt_factory.with_args(bcosify=True, b_opt=True).create(
-            b_opt_factory.lr, params
+            b_opt_factory.lr * dp_world, params
         )
     log_schedule = schedule
     if accum > 1:
@@ -116,6 +118,7 @@ class Trainer:
             mode="min" if monitor == "val_loss" else "max",
         )
         self.metrics_history: Dict[str, list] = {}
+        self._csv_keys: Optional[list] = None  # metrics.csv header, fixed lazily
         from bcosification_tpu.training.loggers import setup_loggers
 
         # multi-host: only process 0 opens logger backends / writes metric
@@ -270,17 +273,50 @@ class Trainer:
         mdir.mkdir(exist_ok=True)
         with gzip.open(mdir / "metrics.json.gz", "wt") as f:
             json.dump(self.metrics_history, f)
-        if not csv:  # one-off rows (initial eval) would corrupt the header
+        # event-stream backends get every row, including one-off csv=False
+        # rows (the initial conversion-quality eval) — clamped to step 0,
+        # which also keeps the TB varint encoder off negative values
+        step = epoch if logger_step is None else logger_step
+        for lg in self.loggers:
+            lg.log_metrics(metrics, step=max(int(step), 0))
+        if not csv:  # one-off rows (initial eval) stay out of the fixed csv
             return
         csv_path = self.save_dir / "metrics.csv"
-        write_header = not csv_path.exists()
         keys = sorted(metrics)
-        with open(csv_path, "a") as f:
-            if write_header:
+        if self._csv_keys is None and csv_path.exists():
+            with open(csv_path) as f:  # resumed run: adopt the existing header
+                self._csv_keys = f.readline().strip().split(",")[1:]
+        if self._csv_keys is None:
+            self._csv_keys = keys
+            with open(csv_path, "w") as f:
                 f.write("epoch," + ",".join(keys) + "\n")
-            f.write(f"{epoch}," + ",".join(f"{metrics[k]:.6f}" for k in keys) + "\n")
-        for lg in self.loggers:
-            lg.log_metrics(metrics, step=epoch if logger_step is None else logger_step)
+        elif any(k not in self._csv_keys for k in keys):
+            # the key set grew (e.g. zeroshot data appeared mid-run): rewrite
+            # with the union header so rows never go ragged/misaligned
+            old_keys, old_rows = self._csv_keys, []
+            if csv_path.exists():
+                old_rows = [
+                    line.split(",")
+                    for line in csv_path.read_text().splitlines()[1:]
+                ]
+            self._csv_keys = sorted(set(old_keys) | set(keys))
+            with open(csv_path, "w") as f:
+                f.write("epoch," + ",".join(self._csv_keys) + "\n")
+                for row in old_rows:
+                    d = dict(zip(old_keys, row[1:]))
+                    f.write(
+                        row[0] + ","
+                        + ",".join(d.get(k, "") for k in self._csv_keys) + "\n"
+                    )
+        with open(csv_path, "a") as f:
+            f.write(
+                f"{epoch},"
+                + ",".join(
+                    f"{metrics[k]:.6f}" if k in metrics else ""
+                    for k in self._csv_keys
+                )
+                + "\n"
+            )
 
     # -- main loop ---------------------------------------------------------------
     def fit(
@@ -322,24 +358,36 @@ class Trainer:
         steps_per_epoch = max(len(train_loader), 1)
 
         tx, b_tx, schedule = _make_optimizers(
-            self.experiment, variables["params"], steps_per_epoch
+            self.experiment, variables["params"], steps_per_epoch,
+            dp_world=int(self.mesh.shape.get(mesh_lib.DATA_AXIS, 1)),
         )
 
+        # opt-in multi-host input scaling (docs/SCALING.md): with a
+        # per-process train sampler (data.split_by_process) each host's
+        # batch is a LOCAL slice of the global batch
+        split_local = bool(config.get("data", {}).get("split_by_process", False))
+
+        accum = int(
+            config.get("trainer", {}).get("accumulate_grad_batches", 1) or 1
+        )
         ema_config = config.get("ema", None)
         ema_decay = None
         ema_steps = 32
         if ema_config is not None:
             ema_steps = ema_config.get("steps", 32)
-            world = self.mesh.devices.size
+            # the reference formula's world_size*batch_size is the GLOBAL
+            # per-micro-step batch (ref trainer.py:540-561). Here the loader
+            # batch IS the global batch — devices SHARD it, they don't
+            # multiply it — except on the split_by_process path where each
+            # of process_count hosts contributes a local slice.
+            world = jax.process_count() if split_local else 1
             ema_decay = adjusted_ema_decay(
                 ema_config["decay"],
-                world_size=1,  # global batch already accounted below
-                batch_size=datamodule.batch_size * world,
+                world_size=world,
+                batch_size=datamodule.batch_size,
                 max_epochs=max_epochs,
                 ema_steps=ema_steps,
-                accumulate_grad_batches=int(
-                    config.get("trainer", {}).get("accumulate_grad_batches", 1) or 1
-                ),
+                accumulate_grad_batches=accum,
             )
 
         bargs = config.get("model", {}).get("bcosify_args", {}) or {}
@@ -359,7 +407,12 @@ class Trainer:
             use_agc=config.get("use_agc", False),
             gradient_clip_val=config.get("trainer", {}).get("gradient_clip_val"),
             ema_decay=ema_decay,
-            ema_steps=ema_steps,
+            # TrainState.step counts MICRO-steps; the reference updates EMA
+            # every ema_steps OPTIMIZER steps (ref trainer.py:776-780), so
+            # under gradient accumulation the gate cadence stretches by
+            # accum (the decay formula above already carries the accum
+            # factor — gating on micro-steps would double-compensate)
+            ema_steps=ema_steps * accum,
             b_schedule=b_schedule,
             amp=bool(self.args.get("amp", False)),
         )
@@ -413,6 +466,11 @@ class Trainer:
 
         state = self._place_state(state)
 
+        # install the SIGTERM handler before the initial validation too: a
+        # reclaim landing during that (full val-set) pass must flag-and-exit
+        # at the first train step, not kill the process mid-eval
+        restore_sigterm = self._install_preemption_handler()
+
         # ImageNetEval (ref trainer.py:1090-1103): evaluate the freshly
         # converted model on the validation split BEFORE any training — the
         # conversion-quality metric (a b=1 conversion must start at the
@@ -450,16 +508,10 @@ class Trainer:
                     f"{profile_window[0]}-{profile_window[1]} incl. compile"
                 )
 
-        # opt-in multi-host input scaling (docs/SCALING.md): with a
-        # per-process train sampler (data.split_by_process) each host's
-        # batch is a LOCAL slice of the global batch
         put_train = (
-            mesh_lib.shard_batch_local
-            if config.get("data", {}).get("split_by_process", False)
-            else mesh_lib.shard_batch
+            mesh_lib.shard_batch_local if split_local else mesh_lib.shard_batch
         )
 
-        restore_sigterm = self._install_preemption_handler()
         for epoch in range(start_epoch, max_epochs):
             t0 = time.time()
             train_loader.set_epoch(epoch)
@@ -515,8 +567,13 @@ class Trainer:
                 # False: the epoch then completes normally (validation +
                 # scored checkpoint) and the post-save break below exits —
                 # a resumed run must never fast-forward a whole epoch into
-                # empty (NaN) metrics
-                done = (skipped - skip_left) + n_steps
+                # empty (NaN) metrics.
+                # The state's position is restored-steps + newly-trained
+                # steps. NOT (skipped - skip_left): a 2nd SIGTERM landing
+                # mid-fast-forward has trained nothing, but the restored
+                # weights still correspond to `skipped` steps — recording
+                # less would double-train the un-skipped prefix next time.
+                done = skipped + n_steps
                 self.ckpt.save(
                     self._host_state(state), epoch,
                     {"preempted": 1.0, "steps_into_epoch": float(done)},
@@ -743,7 +800,8 @@ class Trainer:
                     print(f"profiler trace written to {profile_dir}")
                 profile_window = None
             if interrupted:
-                done = (skipped - skip_left) + len(losses)
+                done = skipped + len(losses)  # see fit(): restored position
+                # + newly-trained; never (skipped - skip_left)
                 self.ckpt.save(
                     self._host_state(state), epoch,
                     {"preempted": 1.0, "steps_into_epoch": float(done)},
@@ -808,6 +866,23 @@ class Trainer:
         from bcosification_tpu.training import zeroshot as zs_lib
 
         results: Dict[str, float] = {}
+        # multi-host: gather host-local copies BEFORE any env/data-dependent
+        # branch — the gather is a collective every process must join (the
+        # _log_explanations pattern); the eval then runs on process-local
+        # arrays, so a dataset present on one host only can never leave some
+        # hosts inside a global-mesh program others skipped (deadlock)
+        if jax.process_count() > 1:
+            host_variables = {
+                "params": self._host_state(state.params),
+                "batch_stats": self._host_state(state.batch_stats),
+            }
+            if not self._io_process:
+                return results
+        else:
+            host_variables = {
+                "params": state.params,
+                "batch_stats": state.batch_stats,
+            }
         if not settings.DATA_ROOT and not settings.IMAGENET_PATH:
             return results
         try:
@@ -831,10 +906,7 @@ class Trainer:
                         specs.append((name, registry[name]))
             if settings.IMAGENET_PATH:
                 specs.append(("ImageNet", registry["ImageNet"]))
-            variables = {
-                "params": state.params,
-                "batch_stats": state.batch_stats,
-            }
+            variables = host_variables
 
             def encode(images):
                 x6 = jnp.concatenate([images, 1.0 - images], axis=-1)
@@ -954,7 +1026,8 @@ def run_training(args) -> None:
 
         settings.EXPERIMENT_ROOT = args.base_directory
     experiment = Experiment(args.dataset, args.base_network, args.experiment_name)
-    np.random.seed(experiment.config.get("seed", 42) or 42)
+    seed = experiment.config.get("seed", 42)
+    np.random.seed(42 if seed is None else seed)  # 0 is a legitimate seed
 
     # fold scale-out CLI flags into the trainer config (the reference's
     # put_trainer_args_into_trainer_config pattern, ref trainer.py:915-933)

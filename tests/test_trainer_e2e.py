@@ -356,9 +356,11 @@ def test_trainer_preemption_checkpoint_and_resume(tmp_path):
 
     sent = []
 
-    class Preempter:  # fires SIGTERM from inside the step-event callback
+    class Preempter:  # fires SIGTERM from inside a PER-STEP event callback
+        # (epoch-level rows — incl. the initial validation, which the
+        # loggers now receive — must not trigger)
         def log_metrics(self, metrics, step):
-            if not sent:
+            if "train_loss_step" in metrics and not sent:
                 sent.append(step)
                 os.kill(os.getpid(), signal.SIGTERM)
 
