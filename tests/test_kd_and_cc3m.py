@@ -206,3 +206,47 @@ def test_kd_train_step_tiny(rng):
         lambda a, b: float(jnp.abs(a - b).max()), p0, jax.device_get(state.params)
     )
     assert max(jax.tree_util.tree_leaves(moved)) > 0
+
+
+def test_wds_native_png_fallback_seeded(tmp_path):
+    """Non-JPEG members (libjpeg rejects) fall back to PIL with the SAME
+    per-sample seed — the pipeline stays reproducible on mixed shards."""
+    import io as _io
+    import tarfile as _tarfile
+
+    import pytest as _pytest
+
+    from PIL import Image as _Image
+
+    from bcosification_tpu.data import native_loader
+    from bcosification_tpu.data.cc3m import WdsPipeline
+    from bcosification_tpu.data.presets import (
+        CLIPBcosImageNetClassificationPresetTrain,
+    )
+
+    if not native_loader.native_available():
+        _pytest.skip("native loader not built")
+    rng = np.random.default_rng(0)
+    shard = str(tmp_path / "mixed.tar")
+    with _tarfile.open(shard, "w") as tf:
+        for i, fmt in enumerate(["JPEG", "PNG", "JPEG", "PNG"]):
+            arr = (rng.random((24, 28, 3)) * 255).astype(np.uint8)
+            buf = _io.BytesIO()
+            _Image.fromarray(arr).save(buf, format=fmt)
+            data = buf.getvalue()
+            info = _tarfile.TarInfo(f"{i:05d}.{'jpg' if fmt == 'JPEG' else 'png'}")
+            info.size = len(data)
+            tf.addfile(info, _io.BytesIO(data))
+
+    def run(seed):
+        pipe = WdsPipeline(
+            [shard], batch_size=2, mode="image",
+            transform=CLIPBcosImageNetClassificationPresetTrain(crop_size=16),
+            seed=seed, native_decode=True, drop_partial=False,
+        )
+        return np.concatenate([b["image"] for b in pipe])
+
+    x1, x2, x3 = run(0), run(0), run(5)
+    assert x1.shape == (4, 16, 16, 3)
+    np.testing.assert_array_equal(x1, x2)  # PNG members too
+    assert float(np.abs(x1 - x3).max()) > 0

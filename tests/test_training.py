@@ -272,3 +272,77 @@ def test_shard_batch_ragged_last_batch():
     out2 = mesh_lib.shard_batch(even, mesh)
     assert len(out2["image"].sharding.device_set) == 8
     np.testing.assert_array_equal(np.asarray(out2["label"]), even["label"])
+
+
+def test_ema_cadence_under_grad_accumulation(tmp_path):
+    """Under accumulate_grad_batches=k the EMA must mix every ema_steps
+    OPTIMIZER steps (= ema_steps*k micro-steps), matching the reference's
+    cadence (ref trainer.py:776-780) — gating on raw micro-steps would
+    double-compensate the accum factor already in adjusted_ema_decay."""
+    import sys
+    import types
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_trainer_e2e import SynthDataModule, TinyNet, _fake_experiment
+
+    import jax as _jax
+
+    from bcosification_tpu.training.trainer import Trainer
+
+    model = TinyNet()
+    dm = SynthDataModule()
+    variables = model.init(
+        _jax.random.PRNGKey(0), jnp.asarray(dm.images[:1]), train=True
+    )
+    exp = _fake_experiment(tmp_path)
+    exp.config["ema"] = {"decay": 0.999, "steps": 2}
+    exp.config["trainer"]["accumulate_grad_batches"] = 2
+    state = Trainer(exp).fit(model, variables, dm, max_epochs=1)
+    # 4 micro-steps/epoch, accum 2 -> 2 optimizer steps; cadence ema_steps=2
+    # optimizer steps = 4 micro-steps: exactly ONE ema update fires, at the
+    # final micro-step, so ema == d*init + (1-d)*final_params elementwise.
+    # A raw micro-step gate would fire a second update at micro-step 2 with
+    # intermediate params and fail this equality.
+    d = adjusted_ema_decay(
+        0.999, world_size=1, batch_size=dm.batch_size, max_epochs=1,
+        ema_steps=2, accumulate_grad_batches=2,
+    )
+    assert 0.0 < d < 1.0  # fixture sanity: the update actually mixes
+    jax.tree_util.tree_map(
+        lambda e, i, p: np.testing.assert_allclose(
+            np.asarray(e), d * np.asarray(i) + (1 - d) * np.asarray(p),
+            rtol=1e-6, atol=1e-7,
+        ),
+        jax.device_get(state.ema_params),
+        jax.device_get(variables["params"]),
+        jax.device_get(state.params),
+    )
+
+
+def test_metrics_csv_union_header(tmp_path):
+    """A key set that grows mid-run (zeroshot data appearing) rewrites the
+    csv with a union header instead of emitting ragged rows."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_trainer_e2e import _fake_experiment
+
+    from bcosification_tpu.training.trainer import Trainer
+
+    trainer = Trainer(_fake_experiment(tmp_path))
+    trainer._log_metrics(0, {"val_acc1": 0.5, "train_loss": 1.0})
+    trainer._log_metrics(1, {"val_acc1": 0.6, "train_loss": 0.9, "zs": 0.1})
+    trainer._log_metrics(2, {"val_acc1": 0.7})
+    lines = (trainer.save_dir / "metrics.csv").read_text().splitlines()
+    header = lines[0].split(",")
+    assert header == ["epoch", "train_loss", "val_acc1", "zs"]
+    assert all(len(line.split(",")) == len(header) for line in lines[1:])
+    assert lines[1].split(",") == ["0", "1.000000", "0.500000", ""]
+    assert lines[3].split(",")[1] == "" and lines[3].split(",")[2] == "0.700000"
+
+    # a resumed Trainer adopts the existing header
+    trainer2 = Trainer(_fake_experiment(tmp_path))
+    trainer2._log_metrics(3, {"val_acc1": 0.8})
+    lines = (trainer.save_dir / "metrics.csv").read_text().splitlines()
+    assert lines[0].split(",") == header
+    assert len(lines[4].split(",")) == len(header)
