@@ -193,19 +193,18 @@ class ClassificationDataModule:
 
             rank, world = jax.process_index(), jax.process_count()
         ra_reps = self.config.get("ra_repetitions", None)
-        if ra_reps is not None:
-            return RASampler(
-                self.train_dataset, num_replicas=world, rank=rank,
-                shuffle=True, seed=seed, repetitions=ra_reps,
-            )
-        if world > 1:
-            # plain per-process split = repeated-augmentation sampler with
-            # repetitions=1 (each sample once per epoch, rank-strided)
-            return RASampler(
-                self.train_dataset, num_replicas=world, rank=rank,
-                shuffle=True, seed=seed, repetitions=1,
-            )
-        return None
+        if ra_reps is None and world == 1:
+            return None
+        # plain per-process split = repeated-augmentation sampler with
+        # repetitions=1 (each sample once per epoch, rank-strided);
+        # select_all skips the reference's 256-truncation ONLY on that
+        # implicit path — explicit ra_repetitions (even 1) keeps the
+        # truncation for steps/LR-schedule parity with the reference.
+        return RASampler(
+            self.train_dataset, num_replicas=world, rank=rank,
+            shuffle=True, seed=seed, repetitions=ra_reps or 1,
+            select_all=ra_reps is None,
+        )
 
 
 class ImageNetDataModule(ClassificationDataModule):
@@ -243,8 +242,27 @@ class ImageNetDataModule(ClassificationDataModule):
 
         if not (self.config.get("native_loader", False) and native_available()):
             return None
-        paths = [p for p, _ in dataset.samples]
-        labels = [l for _, l in dataset.samples]
+        samples = dataset.samples
+        if mode == "train" and self.config.get("split_by_process", False):
+            import jax
+
+            world, rank = jax.process_count(), jax.process_index()
+            if world > 1:
+                # multi-host input scaling for the native path: a static
+                # rank-strided disjoint split, truncated to the common
+                # per-host length so every host runs the identical number
+                # of steps per epoch (lockstep with shard_batch_local).
+                # Per-epoch shuffling happens inside the loader over the
+                # host's own partition (the partition itself is static,
+                # like wds shard splits).
+                per_host = len(samples) // world
+                assert per_host >= self.batch_size, (
+                    f"split_by_process: {len(samples)} samples over {world} "
+                    f"hosts leaves {per_host} per host < batch_size"
+                )
+                samples = samples[rank::world][:per_host]
+        paths = [p for p, _ in samples]
+        labels = [l for _, l in samples]
         return NativeImageLoader(
             paths,
             labels,

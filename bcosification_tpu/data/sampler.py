@@ -25,6 +25,7 @@ class RASampler:
         shuffle: bool = True,
         seed: int = 0,
         repetitions: int = 3,
+        select_all: bool = False,
     ):
         self.dataset = dataset
         self.num_replicas = num_replicas
@@ -34,11 +35,13 @@ class RASampler:
             math.ceil(len(dataset) * float(repetitions) / num_replicas)
         )
         self.total_size = self.num_samples * num_replicas
-        if repetitions == 1:
+        if select_all:
             # plain per-process split (data.split_by_process): every sample
             # exactly once per epoch — the reference's 256-truncation is an
             # RA artifact (it selects a subset of the repeated stream,
-            # sampler.py:37-39) and would zero out small datasets here
+            # sampler.py:37-39) and would zero out small datasets here.
+            # Explicit opt-in only: configs that set ra_repetitions (even 1)
+            # keep the reference truncation for steps/LR-schedule parity.
             self.num_selected_samples = self.num_samples
         else:
             self.num_selected_samples = int(

@@ -366,6 +366,18 @@ class Trainer:
         # per-process train sampler (data.split_by_process) each host's
         # batch is a LOCAL slice of the global batch
         split_local = bool(config.get("data", {}).get("split_by_process", False))
+        if split_local and config.get("data", {}).get("p_gridified", 0.0):
+            # SplitAndGrid shrinks collated batches to a data-dependent size;
+            # make_array_from_process_local_data (shard_batch_local) requires
+            # every host's local batch to match the per-process shard extent,
+            # and the replicated fallback shard_batch uses is wrong when
+            # hosts hold DIFFERENT local data — reject loudly instead of
+            # crashing (or silently diverging) on the first step.
+            raise ValueError(
+                "data.split_by_process is incompatible with data.p_gridified "
+                "(SplitAndGrid yields variable-size batches that cannot be "
+                "stitched from per-process local slices); unset one of them"
+            )
 
         accum = int(
             config.get("trainer", {}).get("accumulate_grad_batches", 1) or 1

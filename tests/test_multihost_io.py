@@ -13,6 +13,24 @@ import jax.numpy as jnp
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from bcosification_tpu.data.cc3m import CC3MDataModule  # noqa: E402
+from bcosification_tpu.data.datamodules import ClassificationDataModule  # noqa: E402
+
+
+# module scope: ClassificationDataModule.__init_subclass__ registers the name
+# globally and raises on duplicates — defining these inside a test body would
+# error on any re-execution (retry/parametrize) and pollute registry()
+class SplitTestDataModule(CC3MDataModule):
+    TRAIN_SHARDS = "training/{00000..00007}.tar"
+    VAL_SHARDS = "validation/{00000..00001}.tar"
+
+
+class SamplerTestDataModule(ClassificationDataModule):
+    NUM_CLASSES = 4
+
+    def setup(self, stage=None):
+        self.train_dataset = list(range(103))  # non-multiple of world
+
 
 def test_non_main_process_save_is_noop(tmp_path, monkeypatch):
     """A 'process 1' writer must not touch index.json or the orbax tree even
@@ -107,8 +125,6 @@ def test_cc3m_split_shards_by_process(tmp_path, monkeypatch):
     stays replicated; too few shards fail loudly."""
     import jax
 
-    from bcosification_tpu.data.cc3m import CC3MDataModule
-
     # a fake shard tree: 8 training tars + the 2 validation tars
     (tmp_path / "training").mkdir()
     (tmp_path / "validation").mkdir()
@@ -116,10 +132,6 @@ def test_cc3m_split_shards_by_process(tmp_path, monkeypatch):
         (tmp_path / "training" / f"{i:05d}.tar").touch()
     for i in range(2):
         (tmp_path / "validation" / f"{i:05d}.tar").touch()
-
-    class SplitTestDataModule(CC3MDataModule):
-        TRAIN_SHARDS = "training/{00000..00007}.tar"
-        VAL_SHARDS = "validation/{00000..00001}.tar"
 
     cfg = dict(
         data_root=str(tmp_path), batch_size=2, num_workers=0,
@@ -158,14 +170,6 @@ def test_imagenet_sampler_split_by_process(monkeypatch):
     sampler (every host identical)."""
     import jax
 
-    from bcosification_tpu.data.datamodules import ClassificationDataModule
-
-    class SamplerTestDataModule(ClassificationDataModule):
-        NUM_CLASSES = 4
-
-        def setup(self, stage=None):
-            self.train_dataset = list(range(103))  # non-multiple of world
-
     monkeypatch.setattr(jax, "process_count", lambda: 4)
     seen = []
     for pi in range(4):
@@ -178,14 +182,14 @@ def test_imagenet_sampler_split_by_process(monkeypatch):
         sampler = dm.get_train_sampler(seed=0)
         assert sampler is not None and sampler.rank == pi
         seen.append(list(iter(sampler)))
-    # same-seed shuffles partition the (padded) index space disjointly
+    # same-seed shuffles partition the (padded) index space disjointly:
+    # total_size = ceil(103/4)*4 = 104, so exactly ONE padding duplicate —
+    # any rank overlap (e.g. an off-by-one in the stride) adds more
     flat = [i for part in seen for i in part]
-    assert len(set(flat)) >= 100  # covers (nearly) the whole dataset
-    lens = {len(p) for p in seen}
-    assert len(lens) == 1  # equal per-host share
-    for a in range(4):
-        for b in range(a + 1, 4):
-            assert not (set(seen[a]) & set(seen[b])) or len(flat) > len(set(flat))
+    assert set(flat) == set(range(103))  # full cover
+    assert len(flat) == 104
+    assert len(flat) - len(set(flat)) == 1  # only the padding duplicate
+    assert len({len(p) for p in seen}) == 1  # equal per-host share
 
     dm_off = SamplerTestDataModule(dict(
         batch_size=2, num_workers=0,
@@ -193,3 +197,102 @@ def test_imagenet_sampler_split_by_process(monkeypatch):
     ))
     dm_off.setup()
     assert dm_off.get_train_sampler(seed=0) is None
+
+
+def test_ra_sampler_explicit_repetitions_keeps_reference_truncation():
+    """Explicit ra_repetitions (even 1) keeps the reference's
+    floor(len//256*256/num_replicas) selection (RASampler parity,
+    /root/reference/bcos/data/sampler.py applies it for ALL repetitions);
+    only the implicit split_by_process path (select_all) takes every
+    sample."""
+    from bcosification_tpu.data.sampler import RASampler
+
+    ds = list(range(600))
+    assert len(RASampler(ds, repetitions=1)) == 512
+    assert len(RASampler(ds, repetitions=3)) == 512
+    assert len(RASampler(ds, num_replicas=4, repetitions=1)) == 128
+    s = RASampler(ds, num_replicas=4, repetitions=1, select_all=True)
+    assert len(s) == 150  # ceil(600/4): every sample exactly once
+
+    # the datamodule keys select_all on ra_repetitions being ABSENT: an
+    # explicit ra_repetitions: 1 config must NOT change its steps/epoch
+    # when a pod sets split_by_process (LR-schedule parity)
+    dm = SamplerTestDataModule(dict(
+        batch_size=2, num_workers=0, ra_repetitions=1,
+        train_transform=None, test_transform=None,
+    ))
+    dm.setup()
+    sampler = dm.get_train_sampler(seed=0)
+    assert sampler is not None
+    assert len(sampler) == 0  # reference: floor(103//256*256) = 0
+
+
+def test_split_by_process_rejects_p_gridified(tmp_path):
+    """SplitAndGrid yields variable-size batches that cannot be stitched
+    from per-process local slices — the trainer must refuse the combination
+    loudly instead of crashing (or silently replicating divergent hosts)."""
+    from test_trainer_e2e import SynthDataModule, TinyNet, _fake_experiment
+
+    from bcosification_tpu.training.trainer import Trainer
+
+    exp = _fake_experiment(tmp_path)
+    exp.config["data"] = dict(split_by_process=True, p_gridified=0.5)
+    model = TinyNet()
+    dm = SynthDataModule()
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(dm.images[:1]), train=True
+    )
+    with pytest.raises(ValueError, match="p_gridified"):
+        Trainer(exp).fit(model, variables, dm, max_epochs=1)
+
+
+def test_native_loader_split_by_process(monkeypatch):
+    """With data.split_by_process, the native C++ loader path must feed each
+    host a disjoint, equal-length (lockstep) share of the train samples —
+    not the full dataset (which shard_batch_local would silently stitch into
+    a world-times-duplicated global batch). Eval stays full/replicated."""
+    import jax
+
+    from bcosification_tpu.data import native_loader as nl
+    from bcosification_tpu.data.datamodules import ImageNetDataModule
+
+    calls = []
+
+    class FakeLoader:
+        def __init__(self, paths, labels, **kw):
+            calls.append((list(paths), list(labels)))
+
+    monkeypatch.setattr(nl, "native_available", lambda: True)
+    monkeypatch.setattr(nl, "NativeImageLoader", FakeLoader)
+    monkeypatch.setattr(jax, "process_count", lambda: 4)
+
+    ds = types.SimpleNamespace(
+        samples=[(f"img_{i}.jpg", i % 4) for i in range(103)]
+    )
+    cfg = dict(
+        batch_size=2, num_workers=0, native_loader=True,
+        split_by_process=True, train_transform=None, test_transform=None,
+    )
+    seen = []
+    for pi in range(4):
+        monkeypatch.setattr(jax, "process_index", lambda pi=pi: pi)
+        dm = ImageNetDataModule(cfg)
+        dm.train_dataset = ds
+        loader = dm.train_dataloader(seed=0)
+        assert isinstance(loader, FakeLoader)
+        paths, _ = calls[-1]
+        assert len(paths) == 103 // 4  # truncated to the common share
+        seen.append(paths)
+    flat = [p for part in seen for p in part]
+    assert len(set(flat)) == len(flat)  # disjoint across hosts
+
+    # eval is untouched: full dataset on every host (replicated shard_batch)
+    dm.eval_dataset = ds
+    assert isinstance(dm.val_dataloader(), FakeLoader)
+    assert len(calls[-1][0]) == 103
+
+    # off: train gets the full dataset too
+    dm_off = ImageNetDataModule(dict(cfg, split_by_process=False))
+    dm_off.train_dataset = ds
+    dm_off.train_dataloader(seed=0)
+    assert len(calls[-1][0]) == 103
