@@ -44,7 +44,23 @@ class CheckpointManager:
         self.mode = mode
         self.top_k = top_k
         self._index_path = self.ckpt_dir / "index.json"
-        self._checkpointer = ocp.StandardCheckpointer() if ocp else None
+        # PROCESS-LOCAL orbax scope: by default orbax's save/restore are
+        # collective over every jax process (sync_global_devices barriers),
+        # so a rank-0-only save deadlocks a real process group and a shared
+        # checkpointer can't restore on non-primary ranks. Scoping each
+        # rank's checkpointer to itself makes every orbax barrier a local
+        # no-op; OUR write discipline (is_main_process guard in save) is the
+        # only coordination, validated end-to-end by
+        # tests/test_real_distributed.py.
+        self._checkpointer = None
+        if ocp:
+            mp_opts = ocp.options.MultiprocessingOptions(
+                primary_host=jax.process_index(),
+                active_processes={jax.process_index()},
+            )
+            self._checkpointer = ocp.StandardCheckpointer(
+                multiprocessing_options=mp_opts
+            )
 
     # -- index ------------------------------------------------------------------
     def _load_index(self) -> Dict[str, Any]:
@@ -61,24 +77,30 @@ class CheckpointManager:
     def save(self, state, epoch: int, metrics: Optional[Dict[str, float]] = None):
         from bcosification_tpu.parallel.mesh import is_main_process
 
-        if not is_main_process():
-            # multi-host: the TrainState is replicated, so process 0's copy is
-            # complete — every other host skips the write entirely (concurrent
-            # writers corrupt index.json and the orbax tree)
-            return
         assert self._checkpointer is not None, "orbax not available"
-        path = (self.ckpt_dir / f"epoch_{epoch}").absolute()
-        if path.exists():
-            shutil.rmtree(path)
-        self._checkpointer.save(path, state)
-        self._checkpointer.wait_until_finished()
-        index = self._load_index()
-        index["epochs"][str(epoch)] = {
-            "metrics": {k: float(v) for k, v in (metrics or {}).items()},
-        }
-        index["last"] = epoch
-        self._save_index(index)
-        self._prune(index)
+        if is_main_process():
+            # process 0 writes everything: the state every rank passes in is
+            # identical (Trainer._host_state gathers it collectively), and
+            # concurrent writers would corrupt index.json / the orbax tree.
+            # The checkpointer is process-local (see __init__) so this write
+            # involves no cross-process orbax barrier.
+            path = (self.ckpt_dir / f"epoch_{epoch}").absolute()
+            self._checkpointer.save(path, state, force=True)
+            self._checkpointer.wait_until_finished()
+            index = self._load_index()
+            index["epochs"][str(epoch)] = {
+                "metrics": {k: float(v) for k, v in (metrics or {}).items()},
+            }
+            index["last"] = epoch
+            self._save_index(index)
+            self._prune(index)
+        if jax.process_count() > 1:
+            # barrier: without it a non-writing rank can run ahead into a
+            # subsequent restore("last") while process 0 is still writing,
+            # and the ranks would resume from different epochs
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"bcos_ckpt_save_{epoch}")
 
     def _score(self, entry, monitor):
         v = entry["metrics"].get(monitor)

@@ -37,11 +37,29 @@ def initialize_distributed(argv=None, _initialize=None):
     if single_host_ok:
         argv.remove("--single-host-ok")
 
+    import os
+
     import jax
 
     init = _initialize or jax.distributed.initialize
+    # torchrun/submitit-style env contract: the reference pod launcher
+    # exports MASTER_ADDR/MASTER_PORT/WORLD_SIZE/RANK via
+    # TorchDistributedEnvironment().export() (run_with_submitit.py:40-42).
+    # Honouring the same names lets non-TPU process groups (CPU pods, local
+    # multi-process debug runs — tests/test_real_distributed.py) configure
+    # the group explicitly where JAX's TPU-metadata auto-detection is absent.
+    kwargs = {}
+    if os.environ.get("MASTER_ADDR") and os.environ.get("WORLD_SIZE"):
+        kwargs = dict(
+            coordinator_address=(
+                f"{os.environ['MASTER_ADDR']}:"
+                f"{os.environ.get('MASTER_PORT', '29500')}"
+            ),
+            num_processes=int(os.environ["WORLD_SIZE"]),
+            process_id=int(os.environ["RANK"]),
+        )
     try:
-        init()  # auto-detects TPU pod topology
+        init(**kwargs)  # no kwargs: auto-detects TPU pod topology
     except Exception as e:
         if single_host_ok:
             print(f"single-host run (--single-host-ok; init failed: {e})")

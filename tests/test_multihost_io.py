@@ -35,7 +35,9 @@ class SamplerTestDataModule(ClassificationDataModule):
 def test_non_main_process_save_is_noop(tmp_path, monkeypatch):
     """A 'process 1' writer must not touch index.json or the orbax tree even
     when interleaved with process 0 saves — the index stays valid JSON with
-    exactly process 0's entries."""
+    exactly process 0's entries. (The checkpointer is PROCESS-LOCAL so this
+    guard involves no orbax cross-process barrier; the real multi-process
+    path is driven by tests/test_real_distributed.py.)"""
     from bcosification_tpu.training.checkpointing import CheckpointManager
 
     state = {"w": jnp.ones((3,)), "step": jnp.zeros((), jnp.int32)}
@@ -55,6 +57,7 @@ def test_non_main_process_save_is_noop(tmp_path, monkeypatch):
     assert index["last"] == 1
     assert index["epochs"]["0"]["metrics"]["val_acc1"] == pytest.approx(0.1)
     assert not (tmp_path / "checkpoints" / "epoch_5").exists()
+    assert m0.resolve("best") == 1
 
     restored, ep = m0.restore(state, "last")
     assert ep == 1

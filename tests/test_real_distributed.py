@@ -1,0 +1,86 @@
+"""REAL multi-process distributed run (no monkeypatching): two OS processes
+form a `jax.distributed` group over Gloo on CPU and drive the actual
+launcher + Trainer with `data.split_by_process`.
+
+This is the only place the true multi-host seams execute for real:
+`jax.make_array_from_process_local_data` with process_count==2, the
+`_host_state` all-gather every process participates in before the
+process-0-only checkpoint write, and restore-on-every-process from the
+shared save_dir. (`dryrun_multichip` and tests/test_multihost_io.py cover
+the same code paths single-process.)
+"""
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+pytestmark = pytest.mark.slow
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_real_two_process_distributed(tmp_path):
+    port = _free_port()
+    worker = REPO / "tests" / "real_distributed_worker.py"
+    procs = []
+    for rank in range(2):
+        env = dict(
+            os.environ,
+            MASTER_ADDR="localhost",
+            MASTER_PORT=str(port),
+            WORLD_SIZE="2",
+            RANK=str(rank),
+            # 2 virtual CPU devices per process -> a 4-device global mesh
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable, str(worker), str(tmp_path)],
+            env=env, cwd=str(REPO),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        ))
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {rank} failed:\n{out[-4000:]}"
+
+    # both ranks ran the same trajectory: fit 2 epochs (4 steps x 2), resume
+    # +1 epoch; param hashes identical across processes at each stage
+    stages = {}
+    for rank, out in enumerate(outs):
+        for line in out.splitlines():
+            if line.startswith(f"WORKER {rank} "):
+                _, _, stage, steps_kv, hash_kv = line.split()
+                stages.setdefault(stage, []).append(
+                    (int(steps_kv.split("=")[1]), hash_kv.split("=")[1])
+                )
+    assert {len(v) for v in stages.values()} == {2}, stages
+    assert stages["FIT"][0] == stages["FIT"][1], stages
+    assert stages["RESUME"][0] == stages["RESUME"][1], stages
+    assert stages["FIT"][0][0] == 8  # 2 epochs x 4 global steps
+    assert stages["RESUME"][0][0] == 12  # +1 resumed epoch
+
+    # process-0-only writes: metrics/checkpoints exist exactly once, index
+    # valid with all three epochs
+    import json
+
+    exp_dir = tmp_path / "exp"
+    assert (exp_dir / "metrics.csv").exists()
+    index = json.loads((exp_dir / "checkpoints" / "index.json").read_text())
+    assert sorted(index["epochs"]) == ["0", "1", "2"], index
+    assert index["last"] == 2
