@@ -84,6 +84,26 @@ def main():
     print(f"WORKER {rank} RESUME steps={int(jax.device_get(state2.step))} "
           f"hash={Trainer.param_hash(state2.params)}", flush=True)
 
+    # FSDP: params/opt-state sharded ACROSS the two real processes — the
+    # checkpoint path must all-gather them (Trainer._host_state's jitted
+    # replicate, a collective every process joins) before the rank-0 write;
+    # param_hash goes through the same gather (sharded leaves span
+    # non-addressable devices)
+    exp3 = _fake_experiment(save_dir / "fsdp")
+    exp3.config["data"] = dict(split_by_process=True)
+    exp3.config["trainer"].update(fsdp=True, fsdp_min_size=1)
+    trainer3 = Trainer(exp3)
+    state3 = trainer3.fit(model, variables, dm, max_epochs=1)
+    h3 = Trainer.param_hash(trainer3._host_state(state3.params))
+    print(f"WORKER {rank} FSDP steps={int(jax.device_get(state3.step))} "
+          f"hash={h3}", flush=True)
+
+    trainer4 = Trainer(exp3)
+    state4 = trainer4.fit(model, variables, dm, max_epochs=2)
+    h4 = Trainer.param_hash(trainer4._host_state(state4.params))
+    print(f"WORKER {rank} FSDPRESUME steps={int(jax.device_get(state4.step))} "
+          f"hash={h4}", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -69,11 +69,14 @@ def test_real_two_process_distributed(tmp_path):
                 stages.setdefault(stage, []).append(
                     (int(steps_kv.split("=")[1]), hash_kv.split("=")[1])
                 )
+    assert set(stages) == {"FIT", "RESUME", "FSDP", "FSDPRESUME"}, stages
     assert {len(v) for v in stages.values()} == {2}, stages
-    assert stages["FIT"][0] == stages["FIT"][1], stages
-    assert stages["RESUME"][0] == stages["RESUME"][1], stages
+    for stage, vals in stages.items():
+        assert vals[0] == vals[1], (stage, stages)
     assert stages["FIT"][0][0] == 8  # 2 epochs x 4 global steps
     assert stages["RESUME"][0][0] == 12  # +1 resumed epoch
+    assert stages["FSDP"][0][0] == 4  # 1 epoch, state sharded over ranks
+    assert stages["FSDPRESUME"][0][0] == 8  # +1 resumed epoch
 
     # process-0-only writes: metrics/checkpoints exist exactly once, index
     # valid with all three epochs
