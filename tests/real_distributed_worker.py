@@ -104,6 +104,61 @@ def main():
     print(f"WORKER {rank} FSDPRESUME steps={int(jax.device_get(state4.step))} "
           f"hash={h4}", flush=True)
 
+    # SigLIP ppermute ring across the REAL process boundary (Gloo): ring
+    # loss + ring-VJP gradients on the 4-device/2-process mesh must equal
+    # the full-matrix oracle (the single-process version of this check is
+    # tests/test_losses.py::test_siglip_ring_multidevice)
+    from jax import shard_map
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from bcosification_tpu import losses as L
+
+    n_dev = jax.device_count()
+    ring_mesh = Mesh(np.array(jax.devices()), ("data",))
+    local_b, d = 4, 16
+    grng = np.random.default_rng(11)
+    img = grng.standard_normal((local_b * n_dev, d)).astype(np.float32)
+    txt = grng.standard_normal((local_b * n_dev, d)).astype(np.float32)
+    scale, bias = np.float32(10.0), np.float32(-10.0)
+    sh = NamedSharding(ring_mesh, P("data"))
+    n_local = img.shape[0] // jax.process_count()
+    lo = rank * n_local
+    g_img = jax.make_array_from_process_local_data(sh, img[lo:lo + n_local])
+    g_txt = jax.make_array_from_process_local_data(sh, txt[lo:lo + n_local])
+
+    loss_fn = L.SigLipLoss(bidir=True, axis_name="data")
+
+    @jax.jit
+    def ring_metrics(i, t):
+        def shard_loss(ii, tt):
+            return jax.lax.psum(loss_fn(ii, tt, scale, bias), "data")
+
+        total = shard_map(
+            shard_loss, mesh=ring_mesh,
+            in_specs=(P("data"), P("data")), out_specs=P(),
+        )
+        val, (gi, gt) = jax.value_and_grad(
+            lambda a, b: total(a, b), argnums=(0, 1)
+        )(i, t)
+        return val, (gi ** 2).sum() + (gt ** 2).sum()
+
+    val, gnorm = map(float, ring_metrics(g_img, g_txt))
+
+    def oracle(i, t):
+        logits = scale * i @ t.T + bias
+        b = i.shape[0]
+        labels = -jnp.ones((b, b)) + 2 * jnp.eye(b)
+        return -jnp.sum(jax.nn.log_sigmoid(labels * logits)) / local_b
+
+    want = float(oracle(jnp.asarray(img), jnp.asarray(txt)))
+    goi, got_ = jax.grad(oracle, argnums=(0, 1))(
+        jnp.asarray(img), jnp.asarray(txt)
+    )
+    gnorm_want = float((goi ** 2).sum() + (got_ ** 2).sum())
+    assert abs(val - want) <= 1e-4 * abs(want), (val, want)
+    assert abs(gnorm - gnorm_want) <= 1e-4 * abs(gnorm_want), (gnorm, gnorm_want)
+    print(f"WORKER {rank} RING loss={val:.6f} gnorm={gnorm:.6f}", flush=True)
+
 
 if __name__ == "__main__":
     main()
