@@ -49,14 +49,24 @@ def initialize_distributed(argv=None, _initialize=None):
     # multi-process debug runs — tests/test_real_distributed.py) configure
     # the group explicitly where JAX's TPU-metadata auto-detection is absent.
     kwargs = {}
-    if os.environ.get("MASTER_ADDR") and os.environ.get("WORLD_SIZE"):
+    env_contract = {k: os.environ.get(k) for k in ("MASTER_ADDR", "WORLD_SIZE", "RANK")}
+    if all(env_contract.values()):
         kwargs = dict(
             coordinator_address=(
-                f"{os.environ['MASTER_ADDR']}:"
+                f"{env_contract['MASTER_ADDR']}:"
                 f"{os.environ.get('MASTER_PORT', '29500')}"
             ),
-            num_processes=int(os.environ["WORLD_SIZE"]),
-            process_id=int(os.environ["RANK"]),
+            num_processes=int(env_contract["WORLD_SIZE"]),
+            process_id=int(env_contract["RANK"]),
+        )
+    elif any(env_contract.values()):
+        # partially-set contract (e.g. stale MASTER_ADDR from another
+        # launcher): fall back to auto-detection rather than crashing on the
+        # missing key or silently mis-joining a foreign group
+        print(
+            "ignoring partial MASTER_ADDR/WORLD_SIZE/RANK env contract "
+            f"({ {k: v for k, v in env_contract.items() if v} }); "
+            "set all three to configure the process group explicitly"
         )
     try:
         init(**kwargs)  # no kwargs: auto-detects TPU pod topology

@@ -14,7 +14,6 @@ Run on TPU: python scripts/perf_probe14.py
 import os
 import sys
 import time
-from functools import partial
 
 import numpy as np
 
@@ -59,7 +58,7 @@ def make_fn(net, opts):
         return acc
 
     kw = {} if opts is None else {"compiler_options": opts}
-    return partial(jax.jit(bench_n, static_argnums=(2,), **kw))
+    return jax.jit(bench_n, static_argnums=(2,), **kw)
 
 
 def main():

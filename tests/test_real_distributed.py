@@ -31,7 +31,7 @@ def _free_port() -> int:
 def test_real_two_process_distributed(tmp_path):
     port = _free_port()
     worker = REPO / "tests" / "real_distributed_worker.py"
-    procs = []
+    procs, logs = [], []
     for rank in range(2):
         env = dict(
             os.environ,
@@ -42,20 +42,29 @@ def test_real_two_process_distributed(tmp_path):
             # 2 virtual CPU devices per process -> a 4-device global mesh
             XLA_FLAGS="--xla_force_host_platform_device_count=2",
         )
+        # file-backed output, not PIPE: an undrained pipe blocks a chatty
+        # worker at ~64 KB, which stalls its collectives and deadlocks BOTH
+        # ranks until the timeout
+        log = open(tmp_path / f"rank{rank}.log", "w+")
+        logs.append(log)
         procs.append(subprocess.Popen(
             [sys.executable, str(worker), str(tmp_path)],
             env=env, cwd=str(REPO),
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            stdout=log, stderr=subprocess.STDOUT, text=True,
         ))
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=900)
-            outs.append(out)
+            p.wait(timeout=900)
     finally:
         for p in procs:
             if p.poll() is None:
                 p.kill()
+        for log in logs:
+            log.flush()
+            log.seek(0)
+            outs.append(log.read())
+            log.close()
     for rank, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {rank} failed:\n{out[-4000:]}"
 
