@@ -83,9 +83,11 @@ class DataLoader:
         return (n + self.batch_size - 1) // self.batch_size
 
     def __iter__(self) -> Iterator:
+        from bcosification_tpu.data import transforms as T
+
         indices = self._indices()
         batches = [
-            indices[i : i + self.batch_size]
+            list(enumerate(indices))[i : i + self.batch_size]
             for i in range(0, len(indices), self.batch_size)
         ]
         if self.drop_last and batches and len(batches[-1]) < self.batch_size:
@@ -93,10 +95,36 @@ class DataLoader:
 
         with cf.ThreadPoolExecutor(max_workers=self.num_workers) as pool:
 
-            def load_batch(batch_idx: List[int]):
-                # fan individual sample loads out over the pool
-                samples = list(pool.map(self.dataset.__getitem__, batch_idx))
-                return self.collate_fn(samples)
+            def load_batch(batch_pos_idx):
+                # deterministic augmentation: every sample's rng derives from
+                # (seed, epoch, position-in-epoch) — reproducible across runs
+                # and identical across the hosts of a multi-process run
+                # (device_put to a multi-process mesh requires equal host
+                # batches); positions (not dataset indices) keep repeated-
+                # augmentation duplicates of one sample distinct
+                def get(pos_idx):
+                    pos, idx = pos_idx
+                    T.set_sample_rng(
+                        np.random.default_rng((self.seed, self.epoch, 0, pos))
+                    )
+                    try:
+                        return self.dataset[idx]
+                    finally:
+                        T.set_sample_rng(None)
+
+                samples = list(pool.map(get, batch_pos_idx))
+                # batch transforms (mixup/cutmix/SplitAndGrid) draw at
+                # collate time in THIS thread: key by the batch's first
+                # position (namespace 1 keeps it off the sample streams)
+                T.set_sample_rng(
+                    np.random.default_rng(
+                        (self.seed, self.epoch, 1, batch_pos_idx[0][0])
+                    )
+                )
+                try:
+                    return self.collate_fn(samples)
+                finally:
+                    T.set_sample_rng(None)
 
             pending: List[cf.Future] = []
             batch_pool = cf.ThreadPoolExecutor(max_workers=self.prefetch_batches + 1)

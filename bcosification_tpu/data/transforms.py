@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import threading
 from typing import Optional, Sequence, Tuple
 
 import numpy as np
@@ -37,7 +38,26 @@ __all__ = [
     "RandomCutmix",
     "SplitAndGrid",
     "one_hot_np",
+    "set_sample_rng",
 ]
+
+# Per-thread deterministic rng context: the DataLoader installs a Generator
+# derived from (seed, epoch, position) before each sample/collate call so
+# augmentation draws are reproducible and — critically — IDENTICAL across
+# the hosts of a multi-process run on the default replicated-loading path
+# (jax.device_put to a multi-process mesh asserts host batches are equal;
+# OS-entropy rng per call made them silently diverge). Transforms fall back
+# to fresh OS entropy when neither an explicit rng nor a context is set.
+_thread_ctx = threading.local()
+
+
+def set_sample_rng(rng: Optional[np.random.Generator]) -> None:
+    """Install (or clear with None) the current thread's transform rng."""
+    _thread_ctx.rng = rng
+
+
+def _ctx_rng() -> Optional[np.random.Generator]:
+    return getattr(_thread_ctx, "rng", None)
 
 
 def _to_pil(img):
@@ -131,7 +151,7 @@ class RandomResizedCrop:
     rng: Optional[np.random.Generator] = None
 
     def __call__(self, img):
-        rng = self.rng or np.random.default_rng()
+        rng = self.rng or _ctx_rng() or np.random.default_rng()
         pil = _to_pil(img)
         w, h = pil.size
         area = h * w
@@ -170,7 +190,7 @@ class RandomHorizontalFlip:
     rng: Optional[np.random.Generator] = None
 
     def __call__(self, img):
-        rng = self.rng or np.random.default_rng()
+        rng = self.rng or _ctx_rng() or np.random.default_rng()
         if rng.random() < self.p:
             if Image is not None and isinstance(img, Image.Image):
                 return img.transpose(Image.FLIP_LEFT_RIGHT)
@@ -228,7 +248,7 @@ class RandomMixup:
     rng: Optional[np.random.Generator] = None
 
     def __call__(self, batch: np.ndarray, target: np.ndarray):
-        rng = self.rng or np.random.default_rng()
+        rng = self.rng or _ctx_rng() or np.random.default_rng()
         if target.ndim == 1:
             target = one_hot_np(target, self.num_classes, batch.dtype)
         if rng.random() >= self.p:
@@ -251,7 +271,7 @@ class RandomCutmix:
     rng: Optional[np.random.Generator] = None
 
     def __call__(self, batch: np.ndarray, target: np.ndarray):
-        rng = self.rng or np.random.default_rng()
+        rng = self.rng or _ctx_rng() or np.random.default_rng()
         if target.ndim == 1:
             target = one_hot_np(target, self.num_classes, batch.dtype)
         if rng.random() >= self.p:

@@ -243,6 +243,7 @@ class Loader {
   void shuffle_epoch(int epoch) {
     std::mt19937_64 rng(seed_ + epoch);
     std::shuffle(order_.begin(), order_.end(), rng);
+    epoch_ = epoch;
   }
 
   int batch_size() const { return batch_; }
@@ -303,7 +304,6 @@ class Loader {
   }
 
   void work(int tid) {
-    std::mt19937_64 rng(seed_ * 1315423911u + tid);
     while (true) {
       size_t begin;
       {
@@ -330,6 +330,13 @@ class Loader {
       for (int i = 0; i < batch_; ++i) {
         const Sample& s = samples_[order_[(begin + i) % order_.size()]];
         b.labels[i] = s.label;
+        // per-SAMPLE rng keyed by (seed, epoch, epoch-position): which
+        // worker thread claims a batch is scheduling-dependent, so a
+        // per-thread stream would make augmentation draws nondeterministic
+        // (and divergent across the hosts of a replicated multi-process
+        // run, which device_put rejects)
+        std::mt19937_64 rng(seed_ ^ (uint64_t(epoch_) << 32) ^
+                            (0x9E3779B97F4A7C15ull * uint64_t(begin + i + 1)));
         process_one(s, rng, b.images.data() + size_t(i) * S * S * channels_out_);
       }
       {
@@ -348,6 +355,7 @@ class Loader {
   std::vector<size_t> order_;
   int out_size_, resize_size_, batch_, mode_, channels_out_;
   uint64_t seed_;
+  int epoch_ = 0;
   int max_queue_;
   size_t n_batches_ = 0;
 
@@ -371,7 +379,7 @@ extern "C" {
 // fresh checkout gives every file the same mtime, so `make` alone cannot
 // detect staleness (this exact failure shipped a pre-reorder-buffer binary
 // in round 2 — eval batches came out of submission order).
-int bcos_loader_abi_version() { return 4; }
+int bcos_loader_abi_version() { return 5; }
 
 void* bcos_loader_create(const char** paths, const int32_t* labels, int n,
                          int out_size, int resize_size, int batch, int threads,

@@ -80,6 +80,20 @@ def initialize_distributed(argv=None, _initialize=None):
             "pod. Pass --single-host-ok to allow the fallback for "
             f"local/debug runs. Original error: {e}"
         ) from e
+    if kwargs and jax.process_count() != kwargs["num_processes"]:
+        # the coordinator handshake succeeded but the BACKEND does not see
+        # the group (measured failure mode: a platform plugin initialised
+        # before/after the group claims process_count=1, every rank then
+        # believes it is main and they concurrently write one experiment
+        # dir). Select the platform BEFORE initialising (BCOS_PLATFORM /
+        # apply_platform_env — main() does).
+        raise RuntimeError(
+            f"jax.distributed joined a {kwargs['num_processes']}-process "
+            f"group but jax.process_count()={jax.process_count()} — the "
+            "active platform plugin ignores the process group; set "
+            "BCOS_PLATFORM (or initialise the intended backend) before "
+            "initialize_distributed()"
+        )
     print(
         f"jax.distributed: process {jax.process_index()}/{jax.process_count()}, "
         f"{jax.local_device_count()} local / {jax.device_count()} global devices"
@@ -88,6 +102,13 @@ def initialize_distributed(argv=None, _initialize=None):
 
 
 def main():
+    # platform choice must precede distributed init: querying process/device
+    # counts initialises the backend, and an eagerly-grabbed default platform
+    # (the axon single-chip plugin here) reports process_count=1 regardless
+    # of the joined group
+    from bcosification_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     initialize_distributed()
 
     from train import main as train_main

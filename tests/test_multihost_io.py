@@ -299,3 +299,54 @@ def test_native_loader_split_by_process(monkeypatch):
     dm_off.train_dataset = ds
     dm_off.train_dataloader(seed=0)
     assert len(calls[-1][0]) == 103
+
+
+def test_python_loader_augmentation_deterministic(tmp_path, rng):
+    """The python DataLoader installs a per-sample transform rng keyed by
+    (seed, epoch, epoch-position): batches are bit-identical across
+    instances and THREAD COUNTS (multi-host replicated loading requires
+    equal host batches — device_put asserts it), and vary with seed/epoch."""
+    from PIL import Image
+
+    from bcosification_tpu.data import transforms as T
+    from bcosification_tpu.data.loader import DataLoader
+
+    paths = []
+    for i in range(12):
+        p = tmp_path / f"i{i}.jpg"
+        Image.fromarray(
+            (rng.random((48, 64, 3)) * 255).astype(np.uint8)
+        ).save(p)
+        paths.append(p)
+
+    class DS:
+        tf = T.Compose([
+            T.RandomResizedCrop(16), T.RandomHorizontalFlip(),
+            T.ToFloatArray(), T.AddInverse(),
+        ])
+
+        def __len__(self):
+            return 12
+
+        def __getitem__(self, i):
+            return self.tf(Image.open(paths[i])), i % 3
+
+    def grab(seed, workers, epoch=0):
+        ld = DataLoader(DS(), 4, shuffle=True, num_workers=workers,
+                        seed=seed, drop_last=True)
+        ld.set_epoch(epoch)
+        return [np.stack(b[0]) if isinstance(b, tuple) else b for b in ld]
+
+    def imgs(batches):
+        return [np.asarray(b[0] if isinstance(b, (tuple, list)) else b)
+                for b in batches]
+
+    a = imgs(grab(3, workers=1))
+    b = imgs(grab(3, workers=4))
+    assert len(a) == len(b) == 3
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+    c = imgs(grab(4, workers=4))
+    assert any(not np.array_equal(x, y) for x, y in zip(a, c))
+    d = imgs(grab(3, workers=4, epoch=1))
+    assert any(not np.array_equal(x, y) for x, y in zip(a, d))

@@ -225,3 +225,32 @@ def test_shipped_binary_is_current(jpeg_dir, monkeypatch):
     got = np.concatenate([b["label"] for b in loader])
     np.testing.assert_array_equal(got, np.asarray(labels))
     nl._lib = None  # do not leak the shipped lib into other tests
+
+
+@needs_native
+def test_train_augmentation_deterministic_per_seed(jpeg_dir):
+    """Augmentation draws are keyed per (seed, epoch, epoch-position), NOT
+    per worker thread — two instances (even with different thread counts)
+    must produce bit-identical batches, because multi-host replicated
+    loading device_puts the batch to a multi-process mesh, which asserts
+    host equality (docs/SCALING.md)."""
+    paths, labels = jpeg_dir
+
+    def grab(seed, threads, epoch=0):
+        loader = NativeImageLoader(
+            paths, labels, out_size=32, resize_size=40, batch_size=4,
+            num_threads=threads, mode="train", seed=seed,
+        )
+        loader.set_epoch(epoch)
+        return [b["image"].copy() for b in loader]
+
+    a = grab(7, threads=1)
+    b = grab(7, threads=4)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+    # different seed and different epoch both change the draws
+    c = grab(8, threads=4)
+    assert any(not np.array_equal(x, y) for x, y in zip(a, c))
+    d = grab(7, threads=4, epoch=1)
+    assert any(not np.array_equal(x, y) for x, y in zip(a, d))
