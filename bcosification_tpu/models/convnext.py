@@ -24,7 +24,9 @@ __all__ = [
     "BcosConvNeXt",
     "convnext_atto",
     "convnext_tiny",
+    "convnext_small",
     "convnext_base",
+    "convnext_large",
 ]
 
 DEFAULT_CONV_LAYER = BcosConv2d
@@ -148,12 +150,30 @@ convnext_tiny = _entry(
     ],
     0.1,
 )
+convnext_small = _entry(
+    [
+        CNBlockConfig(96, 192, 3),
+        CNBlockConfig(192, 384, 3),
+        CNBlockConfig(384, 768, 27),
+        CNBlockConfig(768, None, 3),
+    ],
+    0.4,
+)
 convnext_base = _entry(
     [
         CNBlockConfig(128, 256, 3),
         CNBlockConfig(256, 512, 3),
         CNBlockConfig(512, 1024, 27),
         CNBlockConfig(1024, None, 3),
+    ],
+    0.5,
+)
+convnext_large = _entry(
+    [
+        CNBlockConfig(192, 384, 3),
+        CNBlockConfig(384, 768, 3),
+        CNBlockConfig(768, 1536, 27),
+        CNBlockConfig(1536, None, 3),
     ],
     0.5,
 )

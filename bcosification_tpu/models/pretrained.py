@@ -142,7 +142,13 @@ def _register_zoo():
             (lambda f: lambda **kw: _init(f(**kw), (224, 224, 6)))(factory),
             name=name,
         )
-    for name in ["convnext_atto", "convnext_tiny", "convnext_base"]:
+    for name in [
+        "convnext_atto",
+        "convnext_tiny",
+        "convnext_small",
+        "convnext_base",
+        "convnext_large",
+    ]:
         factory = getattr(convnext, name)
         register(
             (lambda f: lambda **kw: _init(f(**kw), (224, 224, 6)))(factory),

@@ -107,6 +107,29 @@ def test_pretrained_registry():
     names = pretrained.list_available()
     assert "resnet50" in names and "simple_vit_b_patch16_224" in names
     assert "densenet121" in names and "convnext_tiny" in names and "vgg11_bnu" in names
+    # reference convnext.py registers atto/tiny/small/base/large (ref :243-343)
+    assert {
+        "convnext_atto",
+        "convnext_tiny",
+        "convnext_small",
+        "convnext_base",
+        "convnext_large",
+    } <= set(names)
+
+
+def test_convnext_small_large_settings():
+    """convnext_small/large match the reference block settings + sd prob
+    (ref bcos/models/convnext.py:283-343) without instantiating full nets."""
+    small = convnext.convnext_small(num_classes=10)
+    assert [
+        (c.input_channels, c.out_channels, c.num_layers) for c in small.block_setting
+    ] == [(96, 192, 3), (192, 384, 3), (384, 768, 27), (768, None, 3)]
+    assert small.stochastic_depth_prob == 0.4
+    large = convnext.convnext_large(num_classes=10)
+    assert [
+        (c.input_channels, c.out_channels, c.num_layers) for c in large.block_setting
+    ] == [(192, 384, 3), (384, 768, 3), (768, 1536, 27), (1536, None, 3)]
+    assert large.stochastic_depth_prob == 0.5
 
 
 def test_zeroshot_eval_datamodules(tmp_path):
