@@ -48,16 +48,40 @@ def pretrained_urls() -> Dict[str, Dict[str, str]]:
     return _URLS_CACHE
 
 
+# entrypoint -> (url group, experiment key) where the generic normalisation
+# below cannot recover the reference's mapping (ref pretrained.py:616-845:
+# convnext_tiny/base serve the _pn weights; the *_long entrypoints reuse the
+# base experiment name inside the bcos_final_long release group)
+_URL_ALIASES: Dict[str, Tuple[str, str]] = {
+    "convnext_tiny": ("bcos_final_long", "convnext_tiny_pn"),
+    "convnext_base": ("bcos_final_long", "convnext_base_pn"),
+    "resnet50_long": ("bcos_final_long", "resnet_50"),
+    "resnet152_long": ("bcos_final_long", "resnet_152"),
+    "densenet121_long": ("bcos_final_long", "densenet_121"),
+}
+
+
 def pretrained_url(name: str) -> Optional[str]:
     """Find the release URL for an entrypoint / experiment name. Accepts both
-    registry names ('resnet18') and experiment names ('resnet_18')."""
+    registry names ('resnet18') and experiment names ('resnet_18'). ViT
+    entrypoints map like the reference (pretrained.py:858-1448): the bare
+    names are B-cos models whose release keys carry a 'bcos_' prefix, while
+    'standard_*' entrypoints resolve to the unprefixed (non-B-cos) keys."""
     import re
 
-    variants = {name, re.sub(r"([a-z])(\d)", r"\1_\2", name)}
-    for group in pretrained_urls().values():
-        for v in variants:
-            if v in group:
-                return group[v]
+    groups = pretrained_urls()
+    if name in _URL_ALIASES:
+        group, key = _URL_ALIASES[name]
+        return groups[group].get(key)
+    if name.startswith("standard_"):
+        candidates = [name[len("standard_"):]]
+    else:
+        candidates = [f"bcos_{name}", name]
+    candidates += [re.sub(r"([a-z])(\d)", r"\1_\2", c) for c in list(candidates)]
+    for group in groups.values():
+        for c in candidates:
+            if c in group:
+                return group[c]
     return None
 
 
@@ -168,6 +192,62 @@ def _register_zoo():
             ))(factory, size),
             name=name,
         )
+
+    # "_long" released weights: identical architectures, longer training runs
+    # (ref pretrained.py:710-845); the per-name npz lookup picks the right
+    # checkpoint file.
+    for name, base in [
+        ("resnet50_long", "resnet50"),
+        ("resnet152_long", "resnet152"),
+        ("densenet121_long", "densenet121"),
+    ]:
+        register(_REGISTRY[base], name=name)
+
+    # ConvNeXt with uncentered batch norm (ref pretrained.py:616-706; the
+    # default convnext entrypoints use position norm)
+    from bcosification_tpu.modules import norms
+
+    bnu = norms.NoBias(norms.BatchNormUncentered2d)
+    for name, base in [
+        ("convnext_tiny_bnu", "convnext_tiny"),
+        ("convnext_base_bnu", "convnext_base"),
+    ]:
+        factory = getattr(convnext, base)
+        register(
+            (lambda f: lambda **kw: _init(
+                f(norm_layer=bnu, **kw), (224, 224, 6)
+            ))(factory),
+            name=name,
+        )
+
+    # standard (non-B-cos) SimpleViT baselines (ref pretrained.py:1185-1448):
+    # route through the vit_final experiment factory's is_bcos=False path so
+    # the layer choices match the experiment configs exactly (plain
+    # linear/conv, GELU, LayerNorm, 3-channel input, no logit layer).
+    def _standard_vit(arch):
+        def build(**kw):
+            from bcosification_tpu.experiments.ImageNet.vit_final.model import (
+                get_model,
+            )
+
+            args = dict(
+                norm_layer=norms.DetachableLayerNorm,
+                channels=3,
+                norm2d_layer=norms.DetachableGNLayerNorm2d,
+                act_layer="gelu",
+                **kw,
+            )
+            return get_model(dict(is_bcos=False, name=arch, args=args))
+
+        return build
+
+    for arch in [
+        "simple_vit_ti_patch16_224", "simple_vit_s_patch16_224",
+        "simple_vit_b_patch16_224", "simple_vit_l_patch16_224",
+        "vitc_ti_patch1_14", "vitc_s_patch1_14", "vitc_b_patch1_14",
+        "vitc_l_patch1_14",
+    ]:
+        register(_standard_vit(arch), name=f"standard_{arch}")
 
 
 _register_zoo()

@@ -115,6 +115,83 @@ def test_pretrained_registry():
         "convnext_base",
         "convnext_large",
     } <= set(names)
+    # every @register entrypoint of the reference (pretrained.py:120-1448)
+    # exists here: CNNs, bnu/long variants, B-cos + standard ViT/ViT-C
+    ref_entrypoints = {
+        "resnet18", "resnet34", "resnet50", "resnet101", "resnet152",
+        "resnext50_32x4d", "densenet121", "densenet161", "densenet169",
+        "densenet201", "vgg11_bnu", "convnext_tiny", "convnext_base",
+        "convnext_tiny_bnu", "convnext_base_bnu", "resnet50_long",
+        "resnet152_long", "densenet121_long",
+        "simple_vit_ti_patch16_224", "simple_vit_s_patch16_224",
+        "simple_vit_b_patch16_224", "simple_vit_l_patch16_224",
+        "vitc_ti_patch1_14", "vitc_s_patch1_14", "vitc_b_patch1_14",
+        "vitc_l_patch1_14",
+        "standard_simple_vit_ti_patch16_224",
+        "standard_simple_vit_s_patch16_224",
+        "standard_simple_vit_b_patch16_224",
+        "standard_simple_vit_l_patch16_224",
+        "standard_vitc_ti_patch1_14", "standard_vitc_s_patch1_14",
+        "standard_vitc_b_patch1_14", "standard_vitc_l_patch1_14",
+    }
+    assert ref_entrypoints <= set(names), sorted(ref_entrypoints - set(names))
+
+
+def test_pretrained_url_vit_and_long_mapping():
+    """Entrypoint->release-URL mapping matches the reference: bare ViT names
+    are B-cos models (bcos_-prefixed keys, ref pretrained.py:858-1180),
+    standard_* map to unprefixed keys (:1185-1448), _long/_pn variants come
+    from the bcos_final_long group (:616-845)."""
+    from bcosification_tpu.models.pretrained import pretrained_url, pretrained_urls
+
+    urls = pretrained_urls()
+    assert pretrained_url("simple_vit_b_patch16_224") == \
+        urls["vit_final"]["bcos_simple_vit_b_patch16_224"]
+    assert pretrained_url("standard_simple_vit_b_patch16_224") == \
+        urls["vit_final"]["simple_vit_b_patch16_224"]
+    assert pretrained_url("vitc_l_patch1_14") == \
+        urls["vit_final"]["bcos_vitc_l_patch1_14"]
+    assert pretrained_url("resnet50_long") == urls["bcos_final_long"]["resnet_50"]
+    assert pretrained_url("densenet121_long") == \
+        urls["bcos_final_long"]["densenet_121"]
+    assert pretrained_url("convnext_tiny") == \
+        urls["bcos_final_long"]["convnext_tiny_pn"]
+    assert pretrained_url("convnext_tiny_bnu") == \
+        urls["bcos_final_long"]["convnext_tiny_bnu"]
+    # non-vit lookups untouched
+    assert pretrained_url("resnet18") == urls["bcos_final"]["resnet_18"]
+
+
+def test_standard_vit_entrypoint_builds():
+    """standard_* entrypoints build plain (non-B-cos) ViTs: 3-channel input,
+    1000-way head, no logit layer (ref pretrained.py:1185-1223)."""
+    import jax
+
+    from bcosification_tpu.models import pretrained
+
+    model, variables = pretrained.load_model(
+        "standard_vitc_ti_patch1_14", pretrained=False
+    )
+    out = jax.jit(lambda v, x: model.apply(v, x, train=False))(
+        variables, jnp.ones((2, 14, 14, 3))
+    )
+    assert out.shape == (2, 1000)
+    assert "logit_layer" not in str(jax.tree_util.tree_structure(variables))
+
+
+def test_convnext_bnu_entrypoint_builds():
+    """convnext_*_bnu swap position norm for uncentered BN (running stats
+    present; ref pretrained.py:616-706)."""
+    import jax
+
+    from bcosification_tpu.models import pretrained
+
+    model, variables = pretrained.load_model("convnext_tiny_bnu", pretrained=False)
+    assert "batch_stats" in variables
+    out = jax.jit(lambda v, x: model.apply(v, x, train=False))(
+        variables, jnp.ones((1, 64, 64, 6))
+    )
+    assert out.shape == (1, 1000)
 
 
 def test_convnext_small_large_settings():
