@@ -35,7 +35,8 @@ INPLANES, NC, INPUT = 16, 7, 64
 LAYERS = (1, 1, 1, 1)
 
 
-def _build_ref(norm_kind):
+def _build_ref(variant):
+    norm_kind = "posnorm" if variant == "posnorm" else "bnu"
     mod = load_reference_from_scratch_models()
     import sys
 
@@ -46,14 +47,21 @@ def _build_ref(norm_kind):
         else ref_norms.NoBias(ref_norms.DetachablePositionNorm2d)
     )
     torch.manual_seed(0)
+    if variant == "resnext":
+        # grouped Bottleneck (the resnext entrypoints, resnet.py:382): the
+        # grouped-conv patch-norm branch composed with gap_reorder
+        block, extra = mod.Bottleneck, dict(groups=2, width_per_group=8)
+    else:
+        block, extra = mod.BasicBlock, {}
     ref = mod.BcosResNet(
-        mod.BasicBlock,
+        block,
         list(LAYERS),
         in_chans=6,
         num_classes=NC,
         inplanes=INPLANES,
         norm_layer=norm,
         # conv/act defaults: BcosConv2d (b=2, unit-norm weights), Identity
+        **extra,
     )
     # carry real scale through the stack: random gammas + running vars (BNU)
     rng = np.random.default_rng(5)
@@ -109,14 +117,18 @@ def _fill_from_ref(variables, ref):
     return jax.tree_util.tree_map_with_path(fill, variables)
 
 
-def _build_mine(ref, norm_kind):
+def _build_mine(ref, variant):
     norm = (
-        my_norms.NoBias(my_norms.BatchNormUncentered2d)
-        if norm_kind == "bnu"
-        else my_norms.NoBias(my_norms.DetachablePositionNorm2d)
+        my_norms.NoBias(my_norms.DetachablePositionNorm2d)
+        if variant == "posnorm"
+        else my_norms.NoBias(my_norms.BatchNormUncentered2d)
     )
+    if variant == "resnext":
+        block, extra = "bottleneck", dict(groups=2, width_per_group=8)
+    else:
+        block, extra = "basic", {}
     net = resnet_lib.BcosResNet(
-        block="basic",
+        block=block,
         layers=LAYERS,
         num_classes=NC,
         inplanes=INPLANES,
@@ -126,6 +138,7 @@ def _build_mine(ref, norm_kind):
         stem_pool="avg",
         gap_reorder=True,
         with_logit_layer=True,
+        **extra,
     )
     x0 = jnp.zeros((1, INPUT, INPUT, 6), jnp.float32)
     abstract = jax.eval_shape(lambda: net.init(jax.random.PRNGKey(0), x0))
@@ -133,7 +146,7 @@ def _build_mine(ref, norm_kind):
     return net, variables
 
 
-@pytest.fixture(scope="module", params=["bnu", "posnorm"])
+@pytest.fixture(scope="module", params=["bnu", "posnorm", "resnext"])
 def zoo(request):
     ref = _build_ref(request.param)
     net, variables = _build_mine(ref, request.param)
