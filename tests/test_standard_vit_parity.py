@@ -92,6 +92,83 @@ def _fill_from_ref(abstract, ref):
     return jax.tree_util.tree_map_with_path(fill, abstract)
 
 
+def test_standard_vitc_logits_match_reference():
+    """Conv-stem (ViT-C) composition: plain Conv2d stem with
+    GNLayerNorm2d + GELU triples (ref vit.py:342-366, stride 2 when the
+    channel count grows), then the same transformer."""
+    load_reference_from_scratch_models()
+    mod = load_reference("bcos.models.vit")
+    import sys
+
+    ref_norms = sys.modules["bcos.modules.norms"]
+    arch = dict(
+        image_size=14, patch_size=1, num_classes=7, dim=32, depth=2, heads=4,
+        mlp_dim=64,
+    )
+    torch.manual_seed(0)
+    ref = mod.SimpleViT(
+        channels=3,
+        conv_stem=[8, 16],
+        linear_layer=torch.nn.Linear,
+        norm_layer=torch.nn.LayerNorm,
+        act_layer=torch.nn.GELU,
+        conv2d_layer=torch.nn.Conv2d,
+        norm2d_layer=ref_norms.DetachableGNLayerNorm2d,
+        **arch,
+    ).eval()
+
+    from bcosification_tpu.experiments.ImageNet.vit_final.model import _plain_conv
+
+    net = vit_lib.SimpleViT(
+        conv_stem=(8, 16),
+        linear_layer=vit_lib.PlainLinear,
+        norm_layer=my_norms.DetachableLayerNorm,
+        act_layer=DetachableGELU,
+        conv2d_layer=_plain_conv,
+        norm2d_layer=my_norms.DetachableGNLayerNorm2d,
+        **arch,
+    )
+    x0 = jnp.zeros((1, 14, 14, 3), jnp.float32)
+    abstract = jax.eval_shape(lambda: net.init(jax.random.PRNGKey(0), x0))
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    def fill(path, leaf):
+        keys = [p.key if hasattr(p, "key") else str(p) for p in path]
+        scope, name = keys[1:-1], keys[-1]
+        out = []
+        for s in scope:
+            if s.startswith("conv_stem_"):
+                out.append(f"to_patch_embedding.conv_stem.{s[len('conv_stem_'):]}")
+            elif s == "to_patch_embedding_linear":
+                out.append("to_patch_embedding.linear")
+            elif s.startswith("encoder_"):
+                out.append(f"transformer.{s}")
+            elif s == "ff":
+                out.append("ff.net")
+            elif s == "linear_head_norm":
+                out.append("linear_head.norm")
+            elif s == "linear_head_linear":
+                out.append("linear_head.linear")
+            else:
+                out.append(s)
+        t = sd[f"{'.'.join(out)}.{name}"]
+        if name == "weight" and leaf.ndim == 4:  # conv HWIO <- OIHW
+            return jnp.asarray(np.transpose(t, (2, 3, 1, 0)))
+        if name == "weight" and leaf.ndim == 2:
+            return jnp.asarray(t.T)
+        return jnp.asarray(t)
+
+    variables = jax.tree_util.tree_map_with_path(fill, abstract)
+
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((2, 3, 14, 14)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+    got = np.asarray(net.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1))))
+    assert np.abs(want).max() > 1e-2  # non-degeneracy
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
 def test_standard_vit_logits_match_reference():
     ref = _build_ref()
     net = vit_lib.SimpleViT(
