@@ -101,10 +101,15 @@ baseline = {
                 is_bcos=False,
                 name=name,
                 args=dict(
-                    norm_layer=norms.DetachableLayerNorm,
+                    # plain LN + plain GELU per the reference's standard
+                    # config (vit_final/experiment_parameters.py:113-115 —
+                    # nn.LayerNorm/nn.GELU, no explanation-mode detach);
+                    # norm2d stays detachable like the reference's
+                    # DetachableGNLayerNorm2d.
+                    norm_layer=norms.PlainLayerNorm,
                     channels=3,
                     norm2d_layer=norms.DetachableGNLayerNorm2d,
-                    act_layer="gelu",
+                    act_layer="gelu_plain",
                 ),
             ),
             # plain (non-B-cos) baselines train with softmax CE + AdamW

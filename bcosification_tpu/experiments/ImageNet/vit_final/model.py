@@ -18,11 +18,14 @@ from bcosification_tpu.modules import (
     DetachableGELU,
     Identity,
     NormedConv2d,
+    PlainGELU,
 )
 
 __all__ = ["get_model"]
 
-_ACTS = {"gelu": DetachableGELU, "identity": Identity}
+# "gelu_plain" is the reference's nn.GELU in the standard (is_bcos=False)
+# configs — same forward, no explanation-mode gate detach.
+_ACTS = {"gelu": DetachableGELU, "gelu_plain": PlainGELU, "identity": Identity}
 
 
 def _plain_conv(features, **kw):

@@ -51,8 +51,10 @@ def pretrained_urls() -> Dict[str, Dict[str, str]]:
 # entrypoint -> (url group, experiment key) where the generic normalisation
 # below cannot recover the reference's mapping (ref pretrained.py:616-845:
 # convnext_tiny/base serve the _pn weights; the *_long entrypoints reuse the
-# base experiment name inside the bcos_final_long release group)
+# base experiment name inside the bcos_final_long release group; the resnext
+# key keeps its 'x4d' suffix intact, which the ([a-z])(\d) regex would split)
 _URL_ALIASES: Dict[str, Tuple[str, str]] = {
+    "resnext50_32x4d": ("bcos_final", "resnext_50_32x4d"),
     "convnext_tiny": ("bcos_final_long", "convnext_tiny_pn"),
     "convnext_base": ("bcos_final_long", "convnext_base_pn"),
     "resnet50_long": ("bcos_final_long", "resnet_50"),
@@ -231,10 +233,14 @@ def _register_zoo():
             )
 
             args = dict(
-                norm_layer=norms.DetachableLayerNorm,
+                # plain LN/GELU: the reference's standard configs use
+                # nn.LayerNorm/nn.GELU (vit_final/experiment_parameters.py:
+                # 113-115), so explain-mode gradients on these baselines
+                # must not see any stop_gradient.
+                norm_layer=norms.PlainLayerNorm,
                 channels=3,
                 norm2d_layer=norms.DetachableGNLayerNorm2d,
-                act_layer="gelu",
+                act_layer="gelu_plain",
                 **kw,
             )
             return get_model(dict(is_bcos=False, name=arch, args=args))

@@ -1,6 +1,6 @@
 """Module library (flax.linen) — parity with `/root/reference/bcos/modules/`."""
 from bcosification_tpu.modules import norms
-from bcosification_tpu.modules.activations import DetachableGELU, Identity, MyGELU, ReLU
+from bcosification_tpu.modules.activations import DetachableGELU, Identity, MyGELU, PlainGELU, ReLU
 from bcosification_tpu.modules.bcos_layers import (
     BcosConv2d,
     BcosConv2dWithScale,
@@ -31,6 +31,7 @@ __all__ = [
     "call_with_flags",
     "DetachableGELU",
     "MyGELU",
+    "PlainGELU",
     "ReLU",
     "Identity",
     "StochasticDepth",

@@ -12,14 +12,17 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-__all__ = ["DetachableGELU", "MyGELU", "ReLU", "Identity"]
+__all__ = ["DetachableGELU", "MyGELU", "PlainGELU", "ReLU", "Identity"]
 
 
 class DetachableGELU(nn.Module):
     """gate * x with gate = GELU(x)/x = 0.5*(1+erf(x/sqrt(2))); the gate is
-    stop-gradiented in explanation mode, making GELU a dynamic-linear op."""
+    stop-gradiented in explanation mode, making GELU a dynamic-linear op.
+    ``detachable=False`` gives the reference's plain nn.GELU (standard
+    non-B-cos ViT configs): same forward, no explanation-mode detach."""
 
     approximate: bool = False
+    detachable: bool = True
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, explain: bool = False):
@@ -29,12 +32,17 @@ class DetachableGELU(nn.Module):
             )
         else:
             gate = 0.5 * (1.0 + jax.lax.erf(x / jnp.sqrt(2.0).astype(x.dtype)))
-        if explain:
+        if explain and self.detachable:
             gate = jax.lax.stop_gradient(gate)
         return gate * x
 
 
 MyGELU = DetachableGELU  # reference name
+
+
+def PlainGELU(**kwargs):
+    """The reference's plain nn.GELU (vit_final standard configs)."""
+    return DetachableGELU(detachable=False, **kwargs)
 
 
 class ReLU(nn.Module):

@@ -42,6 +42,7 @@ __all__ = [
     "DetachableGNInstanceNorm2d",
     "DetachableGNLayerNorm2d",
     "DetachableLayerNorm",
+    "PlainLayerNorm",
     "DetachablePositionNorm2d",
     "NoBias",
     "Unaffine",
@@ -403,20 +404,25 @@ def DetachableGNLayerNorm2d(features: int, **kwargs):
 
 class DetachableLayerNorm(nn.Module):
     """LayerNorm over the last axis with detachable variance — the transformer
-    norm (centered_norms.py:187-224)."""
+    norm (centered_norms.py:187-224). ``detachable=False`` gives the plain
+    nn.LayerNorm the reference's standard (non-B-cos) ViT configs use
+    (vit_final/experiment_parameters.py:113): identical forward, but
+    explanation mode places NO stop_gradient, so gradient-based attributions
+    on standard baselines match the reference exactly."""
 
     features: int
     eps: float = 1e-5
     affine: bool = True
     use_weight: bool = True
     use_bias: bool = True
+    detachable: bool = True
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, explain: bool = False):
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=-1, keepdims=True)
         var = jnp.var(xf, axis=-1, keepdims=True)
-        var = _maybe_stop(var, explain)
+        var = _maybe_stop(var, explain and self.detachable)
         out = (xf - mean) / jnp.sqrt(var + self.eps)
         weight = bias = None
         if self.affine and self.use_weight:
@@ -428,6 +434,12 @@ class DetachableLayerNorm(nn.Module):
                 "bias", nn.initializers.zeros, (self.features,), jnp.float32
             )
         return _affine(out, weight, bias).astype(x.dtype)
+
+
+def PlainLayerNorm(features: int, **kwargs):
+    """The reference's plain nn.LayerNorm (standard non-B-cos ViT configs,
+    vit_final/experiment_parameters.py:113): no explanation-mode detach."""
+    return DetachableLayerNorm(features=features, detachable=False, **kwargs)
 
 
 class DetachablePositionNorm2d(nn.Module):

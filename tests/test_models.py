@@ -160,6 +160,10 @@ def test_pretrained_url_vit_and_long_mapping():
         urls["bcos_final_long"]["convnext_tiny_bnu"]
     # non-vit lookups untouched
     assert pretrained_url("resnet18") == urls["bcos_final"]["resnet_18"]
+    # the 'x4d' suffix must survive name normalisation (aliased explicitly:
+    # the generic ([a-z])(\d) split would yield resnext_50_32x_4d)
+    assert pretrained_url("resnext50_32x4d") == \
+        urls["bcos_final"]["resnext_50_32x4d"]
 
 
 def test_standard_vit_entrypoint_builds():
@@ -177,6 +181,45 @@ def test_standard_vit_entrypoint_builds():
     )
     assert out.shape == (2, 1000)
     assert "logit_layer" not in str(jax.tree_util.tree_structure(variables))
+
+
+def test_standard_vit_uses_plain_norm_and_gelu():
+    """standard_* baselines use PLAIN LayerNorm/GELU per the reference
+    standard config (vit_final/experiment_parameters.py:113-115 —
+    nn.LayerNorm/nn.GELU carry no explanation-mode detach; only the shared
+    Attention q/k detach and the conv-stem GN remain detachable). Verified
+    at the layer level: explain=True must not change LN/GELU input
+    gradients (advisor round-3 finding)."""
+    import jax
+
+    from bcosification_tpu.models import pretrained
+    from bcosification_tpu.modules import PlainGELU, norms
+
+    model, _ = pretrained.load_model(
+        "standard_simple_vit_ti_patch16_224", pretrained=False
+    )
+    # the entrypoint wires plain variants into the architecture
+    ln = model.norm_layer(8)
+    assert not ln.detachable
+    act = model.act_layer()
+    assert not act.detachable
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (3, 8))
+    v = ln.init(jax.random.PRNGKey(1), x)
+
+    def g(layer, variables, explain):
+        return jax.grad(
+            lambda xx: layer.apply(variables, xx, explain=explain).sum()
+        )(x)
+
+    assert jnp.array_equal(g(ln, v, False), g(ln, v, True))
+    # ... whereas the detachable default differs (sanity of the test itself)
+    dln = norms.DetachableLayerNorm(8)
+    assert not jnp.array_equal(g(dln, v, False), g(dln, v, True))
+
+    gelu = PlainGELU()
+    gv = gelu.init(jax.random.PRNGKey(2), x)
+    assert jnp.array_equal(g(gelu, gv, False), g(gelu, gv, True))
 
 
 def test_convnext_bnu_entrypoint_builds():
