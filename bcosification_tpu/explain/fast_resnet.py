@@ -173,6 +173,48 @@ def _norms(x, kh, kw, stride, padding, dtype):
     return ops.patch_norms(x, (kh, kw), stride=stride, padding=padding).astype(dtype)
 
 
+def _aug_norm_enabled() -> bool:
+    """BCOS_AUG_NORM=1: fold each layer's patch norm into its OWN conv call.
+
+    The last untried structural idea (docs/PERF.md): the step is
+    kernel-boundary-bound, so deleting the per-layer reduce_window kernel in
+    favour of a slightly larger conv may be free. One extra INPUT channel
+    carries the per-pixel channel sum-of-squares (sum_c x_c^2 — computable in
+    the producer's elementwise fusion), and one extra OUTPUT column of ones
+    window-sums it: that output channel is exactly ||x_patch||^2, because
+
+        sum_{dy,dx} ssq[y+dy, x+dx] = sum_{dy,dx,c} x[y+dy, x+dx, c]^2.
+
+    Cost: ~(1/C_in + 1/C_out) extra MACs and TPU lane padding on the C+1
+    tensors; benefit: the reduce_window kernel and one full activation read
+    per layer disappear. Exact up to fp reassociation (MXU accumulates the
+    sumsq column in fp32 like reduce_window; in bf16 the ssq channel itself
+    is rounded to bf16 — a ~2^-9 relative perturbation of the norm that the
+    default path does not have, which is why this is opt-in + measured).
+    """
+    import os
+
+    return os.getenv("BCOS_AUG_NORM", "0") == "1"
+
+
+def _conv_and_norm(a, w, stride, padding, dtype):
+    """(u, n) = (conv(a, w), patch norms of a) — two kernels by default, ONE
+    augmented conv under BCOS_AUG_NORM=1 (see _aug_norm_enabled)."""
+    kh, kw, cin, cout = w.shape
+    if not _aug_norm_enabled():
+        u = ops._conv(a, w, stride, padding, 1, 1)
+        return u, _norms(a, kh, kw, stride, padding, dtype)
+    ssq = jnp.sum(jnp.square(a.astype(jnp.float32)), axis=-1, keepdims=True)
+    xa = jnp.concatenate([a, ssq.astype(a.dtype)], axis=-1)
+    wa = jnp.pad(w, ((0, 0), (0, 0), (0, 1), (0, 1)))
+    # constant one-hot tap (no traced operands -> folded at compile time)
+    ones_tap = jnp.zeros(wa.shape, wa.dtype).at[:, :, cin, cout].set(1.0)
+    y = ops._conv(xa, wa + ones_tap, stride, padding, 1, 1)
+    u = y[..., :cout]
+    n = jnp.sqrt(y[..., cout:].astype(jnp.float32) + ops.CONV_NORM_EPS)
+    return u, n.astype(dtype)
+
+
 def _convT2x(ct, w, x_shape, padding: int):
     """Transpose of a stride-2 conv as ONE dense stride-1 conv + depth-to-space.
 
@@ -296,8 +338,7 @@ def fast_dynamic_linear_weights(
     relu_acts = isinstance(m.act_layer(), ReLU)
 
     w1 = _weight(params["conv1"], normalize, dtype)
-    u = ops._conv(xn, w1, 2, 3, 1, 1)
-    n1 = _norms(xn, 7, 7, 2, 3, dtype)
+    u, n1 = _conv_and_norm(xn, w1, 2, 3, dtype)
     bn1 = _bn_terms(params.get("bn1"), stats["bn1"], eps)
     z_stem = _seg_fwd(u, n1, bn1[0], bn1[1], bn1[2], relu_acts)
     a = pooling.avg_pool2d(z_stem, 3, 2, 1)
@@ -309,8 +350,7 @@ def fast_dynamic_linear_weights(
         rec = {"in": a, "scope": scope, "stride": stride, "has_ds": has_ds}
         if has_ds:
             wds = _weight(p["downsample_conv"], normalize, dtype)
-            uds = ops._conv(a, wds, stride, 0, 1, 1)
-            rec["n_ds"] = _norms(a, 1, 1, stride, 0, dtype)
+            uds, rec["n_ds"] = _conv_and_norm(a, wds, stride, 0, dtype)
             rec["bn_ds"] = _bn_terms(
                 p.get("downsample_norm"), s["downsample_norm"], eps
             )
@@ -325,39 +365,34 @@ def fast_dynamic_linear_weights(
 
         if bottleneck:
             rec["w1"] = _weight(p["conv1"], normalize, dtype)
-            u = ops._conv(a, rec["w1"], 1, 0, 1, 1)
-            rec["n1"] = _norms(a, 1, 1, 1, 0, dtype)
+            u, rec["n1"] = _conv_and_norm(a, rec["w1"], 1, 0, dtype)
             rec["bn1"] = _bn_terms(p.get("bn1"), s["bn1"], eps)
             c1 = _seg_fwd(u, rec["n1"], rec["bn1"][0], rec["bn1"][1],
                           rec["bn1"][2], relu_acts)
             rec["c1"] = c1
 
             rec["w2"] = _weight(p["conv2"], normalize, dtype)
-            u = ops._conv(c1, rec["w2"], stride, 1, 1, 1)
-            rec["n2"] = _norms(c1, 3, 3, stride, 1, dtype)
+            u, rec["n2"] = _conv_and_norm(c1, rec["w2"], stride, 1, dtype)
             rec["bn2"] = _bn_terms(p.get("bn2"), s["bn2"], eps)
             c2 = _seg_fwd(u, rec["n2"], rec["bn2"][0], rec["bn2"][1],
                           rec["bn2"][2], relu_acts)
             rec["c2"] = c2
 
             rec["w3"] = _weight(p["conv3"], normalize, dtype)
-            u = ops._conv(c2, rec["w3"], 1, 0, 1, 1)
-            rec["n3"] = _norms(c2, 1, 1, 1, 0, dtype)
+            u, rec["n3"] = _conv_and_norm(c2, rec["w3"], 1, 0, dtype)
             rec["bn3"] = _bn_terms(p.get("bn3"), s["bn3"], eps)
             y3 = _seg_fwd(u, rec["n3"], rec["bn3"][0], rec["bn3"][1],
                           rec["bn3"][2], False)
         else:
             rec["w1"] = _weight(p["conv1"], normalize, dtype)
-            u = ops._conv(a, rec["w1"], stride, 1, 1, 1)
-            rec["n1"] = _norms(a, 3, 3, stride, 1, dtype)
+            u, rec["n1"] = _conv_and_norm(a, rec["w1"], stride, 1, dtype)
             rec["bn1"] = _bn_terms(p.get("bn1"), s["bn1"], eps)
             c1 = _seg_fwd(u, rec["n1"], rec["bn1"][0], rec["bn1"][1],
                           rec["bn1"][2], relu_acts)
             rec["c1"] = c1
 
             rec["w2"] = _weight(p["conv2"], normalize, dtype)
-            u = ops._conv(c1, rec["w2"], 1, 1, 1, 1)
-            rec["n2"] = _norms(c1, 3, 3, 1, 1, dtype)
+            u, rec["n2"] = _conv_and_norm(c1, rec["w2"], 1, 1, dtype)
             rec["bn2"] = _bn_terms(p.get("bn2"), s["bn2"], eps)
             y3 = _seg_fwd(u, rec["n2"], rec["bn2"][0], rec["bn2"][1],
                           rec["bn2"][2], False)
@@ -372,11 +407,10 @@ def fast_dynamic_linear_weights(
     # classifier: 1x1 B-cos conv BEFORE global average pool (GAP-reorder,
     # standard_models.py:38-55), then LogitLayer in the wrapper
     w_fc = _weight(params["fc"], normalize, dtype)
-    u_fc = ops._conv(a, w_fc, 1, 0, 1, 1)
+    u_fc, n_fc = _conv_and_norm(a, w_fc, 1, 0, dtype)
     fc_bias = params["fc"].get("bias")
     if fc_bias is not None:
         u_fc = u_fc + jnp.reshape(fc_bias, (1, 1, 1, -1)).astype(dtype)
-    n_fc = _norms(a, 1, 1, 1, 0, dtype)
     y_fc = (jnp.abs(u_fc) / n_fc) * u_fc
     logits = jnp.mean(y_fc, axis=(1, 2))
     if net.with_logit_layer:

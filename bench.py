@@ -112,6 +112,10 @@ def main():
     # best of three passes: one-off tunnel hiccups only ever inflate the time
     per_iter = min(measure(), measure(), measure())
     img_per_s = BATCH / per_iter
+    try:
+        platform_version = jax.devices()[0].client.platform_version
+    except Exception:
+        platform_version = "unknown"
     print(
         json.dumps(
             {
@@ -119,6 +123,12 @@ def main():
                 "value": round(img_per_s, 2),
                 "unit": "img/s/chip",
                 "vs_baseline": round(img_per_s / NORTH_STAR, 4),
+                # session metadata: the throughput mode is set per-process by
+                # the tunnel/machine state (docs/PERF.md) — record enough to
+                # correlate mode with session after the fact
+                "ts": round(time.time(), 1),
+                "platform_version": platform_version,
+                "jax_version": jax.__version__,
             }
         )
     )
@@ -178,7 +188,20 @@ def _multiproc_main(n_procs: int):
         # measuring in-process is safe
         main()
         return
+    import statistics
+
     best = max(results, key=lambda r: r["value"])
+    values = sorted(r["value"] for r in results)
+    # headline "value" stays the best child (achievable throughput, the
+    # definition since round 3) but the median and the full sample ride along
+    # so the number can't select favourably (VERDICT r3 weak #5)
+    best["value_best"] = best["value"]
+    best["value_median"] = round(statistics.median(values), 2)
+    best["vs_baseline_median"] = round(best["value_median"] / NORTH_STAR, 4)
+    best["children"] = [
+        {k: r[k] for k in ("value", "ts", "platform_version") if k in r}
+        for r in results
+    ]
     best["procs_sampled"] = len(results)
     print(json.dumps(best))
 

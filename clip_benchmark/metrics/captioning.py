@@ -14,8 +14,10 @@ the same corpus-level semantics:
 - CIDEr (CIDEr-D, as pycocoevalcap's Cider computes): tf-idf 1..4-gram cosine
   with count clipping and gaussian length penalty (sigma=6), x10.
 
-METEOR is computed natively (meteor.py); SPICE requires the external Java
-scene-graph toolchain and is reported as the string "unsupported".
+METEOR is computed natively (meteor.py); SPICE uses pycocoevalcap's Spice
+when the package is importable (as the reference does) and is reported as
+the string "unsupported" otherwise (the Java scene-graph toolchain cannot be
+reimplemented dependency-free).
 
 The model bundle must expose ``generate(images) -> list[str]`` (decoded
 captions); B-cosification never trains a captioner, so this is exercised by
@@ -157,6 +159,23 @@ def cider_d(
     return float(np.mean(scores)) if scores else 0.0
 
 
+def spice_score(
+    candidates: List[List[str]], references: List[List[List[str]]]
+):
+    """SPICE via pycocoevalcap when importable (matching the reference's
+    `captioning.py:12` scorer list); the Java scene-graph toolchain cannot be
+    reimplemented dependency-free, so without the package this stays the
+    honest string "unsupported" rather than a silent NaN."""
+    try:
+        from pycocoevalcap.spice.spice import Spice  # noqa: gated optional dep
+    except ImportError:
+        return "unsupported"
+    gts = {i: [" ".join(r) for r in refs] for i, refs in enumerate(references)}
+    res = {i: [" ".join(c)] for i, c in enumerate(candidates)}
+    score, _ = Spice().compute_score(gts, res)
+    return float(score)
+
+
 def evaluate(model_bundle, loader, verbose: bool = False) -> Dict[str, float]:
     """Generate a caption per image, score against references."""
     generate = getattr(model_bundle, "generate", None)
@@ -181,9 +200,9 @@ def evaluate(model_bundle, loader, verbose: bool = False) -> Dict[str, float]:
         "METEOR": meteor(candidates, references),  # pure-Python (see meteor.py)
         "ROUGE_L": rouge_l(candidates, references),
         "CIDEr": cider_d(candidates, references),
-        # honest capability report (not a silent NaN): SPICE needs the Java
-        # scene-graph toolchain the reference gets via pycocoevalcap
-        "SPICE": "unsupported",
+        # real pycocoevalcap Spice when the package is importable; the
+        # honest string "unsupported" otherwise (not a silent NaN)
+        "SPICE": spice_score(candidates, references),
     }
     if verbose:
         for k, v in metrics.items():

@@ -36,6 +36,47 @@ def rng():
     return np.random.default_rng(0)
 
 
+@pytest.fixture(scope="session", autouse=True)
+def fresh_native_build(tmp_path_factory):
+    """Build the native loader from the current source into a TEMP dir and
+    point the binding at it for the whole session.
+
+    Session-scoped in conftest (not module-scoped in test_native_loader.py)
+    so that ANY subset invocation — e.g. `pytest tests/test_kd_and_cc3m.py`
+    alone — sees a fresh library instead of silently skipping on a stale
+    checked-in .so (equal mtimes after checkout defeat make's dependency
+    check; 3 silent skips observed in round 3). Building into a temp dir
+    keeps the git-tracked binary clean. No toolchain => fall through to the
+    checked-in library (the ABI guard still protects such machines)."""
+    import pathlib
+    import shutil
+    import subprocess
+
+    import bcosification_tpu.data.native_loader as nl
+
+    native_dir = pathlib.Path(__file__).parents[1] / "native"
+    build_dir = pathlib.Path(tmp_path_factory.mktemp("native_build"))
+    fresh = None
+    try:
+        for f in ("Makefile", "bcos_loader.cpp"):
+            shutil.copy(native_dir / f, build_dir / f)
+        subprocess.run(
+            ["make", "-B", "-C", str(build_dir)],
+            check=True, capture_output=True, timeout=120,
+        )
+        candidate = build_dir / "libbcos_loader.so"
+        if candidate.exists():
+            fresh = candidate
+    except (OSError, subprocess.SubprocessError):
+        pass  # no toolchain: fall through to the checked-in library
+    old_paths, old_lib = nl._LIB_PATHS, nl._lib
+    if fresh is not None:
+        nl._LIB_PATHS = [fresh]
+    nl._lib = None
+    yield
+    nl._LIB_PATHS, nl._lib = old_paths, old_lib
+
+
 def pytest_configure(config):
     config.addinivalue_line(
         "markers",

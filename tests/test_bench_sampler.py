@@ -45,6 +45,12 @@ def test_best_child_wins(monkeypatch, capsys):
     rec = json.loads(out)
     assert rec["value"] == 4600.0
     assert rec["procs_sampled"] == 3
+    # best + median both reported (VERDICT r3 weak #5): the headline can't
+    # select favourably without the median riding along
+    assert rec["value_best"] == 4600.0
+    assert rec["value_median"] == 4100.0
+    assert rec["vs_baseline_median"] == pytest.approx(4100.0 / 5000)
+    assert [c["value"] for c in rec["children"]] == [4100.0, 4600.0, 4050.0]
 
 
 def test_timeout_stops_spawning_and_exits_nonzero(monkeypatch, capsys):

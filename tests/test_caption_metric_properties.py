@@ -75,3 +75,44 @@ def test_cider_exact_match_dominates():
     exact = [rs[0] for rs in refs]
     rand = [_rand_tokens(rng) for _ in refs]
     assert cider_d(exact, refs) >= cider_d(rand, refs)
+
+
+def test_spice_import_gated(monkeypatch):
+    """SPICE routes through pycocoevalcap's Spice when importable (ref
+    captioning.py:12) and stays the honest "unsupported" string otherwise —
+    verified with a fake scorer module injected into sys.modules."""
+    import sys
+    import types
+
+    from clip_benchmark.metrics.captioning import spice_score
+
+    rng = random.Random(3)
+    cands, refs = _rand_corpus(rng)
+
+    # without the package: honest capability string
+    monkeypatch.setitem(sys.modules, "pycocoevalcap", None)
+    monkeypatch.setitem(sys.modules, "pycocoevalcap.spice", None)
+    monkeypatch.setitem(sys.modules, "pycocoevalcap.spice.spice", None)
+    assert spice_score(cands, refs) == "unsupported"
+
+    # with a fake pycocoevalcap: the gts/res dicts carry space-joined
+    # strings keyed per image, and the corpus score is returned as float
+    seen = {}
+
+    class FakeSpice:
+        def compute_score(self, gts, res):
+            seen["gts"], seen["res"] = gts, res
+            return 0.25, [0.25] * len(res)
+
+    mod = types.ModuleType("pycocoevalcap.spice.spice")
+    mod.Spice = FakeSpice
+    pkg = types.ModuleType("pycocoevalcap")
+    spice_pkg = types.ModuleType("pycocoevalcap.spice")
+    monkeypatch.setitem(sys.modules, "pycocoevalcap", pkg)
+    monkeypatch.setitem(sys.modules, "pycocoevalcap.spice", spice_pkg)
+    monkeypatch.setitem(sys.modules, "pycocoevalcap.spice.spice", mod)
+    out = spice_score(cands, refs)
+    assert out == 0.25 and isinstance(out, float)
+    assert set(seen["gts"]) == set(range(len(refs)))
+    assert seen["res"][0] == [" ".join(cands[0])]
+    assert seen["gts"][1] == [" ".join(r) for r in refs[1]]

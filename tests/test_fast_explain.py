@@ -200,3 +200,51 @@ def test_segment_vjp_deeplift_unaffected(monkeypatch):
     monkeypatch.setenv("BCOS_EXPLAIN_SEGMENT", "1")
     a1 = attr()
     assert np.linalg.norm(a0 - a1) <= 1e-5 * max(np.linalg.norm(a0), 1e-30)
+
+
+@pytest.mark.parametrize(
+    "arch,layers",
+    [("resnet50", ("bottleneck", (1, 1))), ("resnet18", ("basic", (1, 1)))],
+)
+def test_aug_norm_matches_autodiff(arch, layers, monkeypatch):
+    """BCOS_AUG_NORM=1 folds every patch norm into its own conv call (one
+    augmented conv_general_dilated per layer instead of conv+reduce_window);
+    the summands are identical up to reassociation, so logits and W must
+    match the autodiff path at the usual fp32 rounding tolerance."""
+    from bcosification_tpu.explain import fast_resnet
+
+    net, variables = _tiny(arch, layers)
+    x = jnp.asarray(
+        np.random.default_rng(11).normal(size=(3, 64, 64, 6)).astype(np.float32)
+    )
+    l0, s0, w0 = _autodiff(net, variables, x)
+    monkeypatch.setenv("BCOS_AUG_NORM", "1")
+    l1, s1, w1 = fast_resnet.fast_dynamic_linear_weights(net, variables, x)
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+    np.testing.assert_allclose(
+        np.asarray(l0), np.asarray(l1), rtol=1e-5, atol=1e-6
+    )
+    w0, w1 = np.asarray(w0), np.asarray(w1)
+    assert np.linalg.norm(w0 - w1) <= 1e-5 * np.linalg.norm(w0)
+
+
+def test_aug_norm_bf16_tolerance(monkeypatch):
+    """In bf16 the augmented path rounds the sumsq channel to bf16 (the
+    default path keeps it fp32): the perturbation is ~2^-9 relative on the
+    norm, which must stay inside the same bf16 bound the fast pass itself
+    carries vs autodiff."""
+    from bcosification_tpu.explain import fast_resnet
+
+    net, variables = _tiny("resnet50", ("bottleneck", (1, 1)))
+    x = jnp.asarray(
+        np.random.default_rng(13).normal(size=(2, 64, 64, 6)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    l0, s0, w0 = _autodiff(net, variables, x)
+    monkeypatch.setenv("BCOS_AUG_NORM", "1")
+    l1, s1, w1 = fast_resnet.fast_dynamic_linear_weights(net, variables, x)
+    l0 = np.asarray(l0, np.float32)
+    l1 = np.asarray(l1, np.float32)
+    assert np.linalg.norm(l0 - l1) <= 3e-2 * max(np.linalg.norm(l0), 1e-30)
+    w0 = np.asarray(w0, np.float32)
+    w1 = np.asarray(w1, np.float32)
+    assert np.linalg.norm(w0 - w1) <= 3e-2 * np.linalg.norm(w0)

@@ -9,46 +9,20 @@ from bcosification_tpu.data.native_loader import (
     native_available,
 )
 
-needs_native = pytest.mark.skipif(
-    not native_available(), reason="libbcos_loader.so not built"
-)
+def needs_native(fn):
+    """Runtime (not collection-time) skip: the session-scoped
+    fresh_native_build fixture in conftest.py rebuilds the library AFTER
+    collection, so an import-time skipif would wrongly skip on a stale
+    checked-in .so that the fresh build fixes."""
+    import functools
 
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        if not native_available():
+            pytest.skip("libbcos_loader.so not built")
+        return fn(*args, **kwargs)
 
-@pytest.fixture(scope="module", autouse=True)
-def fresh_native_build(tmp_path_factory):
-    """Build the shared library from the current source into a TEMP dir and
-    point the binding at it for this module: the checked-in .so can be stale
-    after checkout (equal mtimes defeat make's dependency check — this
-    shipped a pre-reorder-buffer binary in round 2), and rebuilding in place
-    would dirty the git-tracked binary on every test run. The binding's ABI
-    guard still protects non-toolchain machines."""
-    import pathlib
-    import shutil
-    import subprocess
-
-    import bcosification_tpu.data.native_loader as nl
-
-    native_dir = pathlib.Path(__file__).parents[1] / "native"
-    build_dir = pathlib.Path(tmp_path_factory.mktemp("native_build"))
-    fresh = None
-    try:
-        for f in ("Makefile", "bcos_loader.cpp"):
-            shutil.copy(native_dir / f, build_dir / f)
-        subprocess.run(
-            ["make", "-B", "-C", str(build_dir)],
-            check=True, capture_output=True, timeout=120,
-        )
-        candidate = build_dir / "libbcos_loader.so"
-        if candidate.exists():
-            fresh = candidate
-    except (OSError, subprocess.SubprocessError):
-        pass  # no toolchain: fall through to the checked-in library
-    old_paths, old_lib = nl._LIB_PATHS, nl._lib
-    if fresh is not None:
-        nl._LIB_PATHS = [fresh]
-    nl._lib = None
-    yield
-    nl._LIB_PATHS, nl._lib = old_paths, old_lib
+    return wrapper
 
 
 @pytest.fixture
