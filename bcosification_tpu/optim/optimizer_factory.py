@@ -95,14 +95,21 @@ class OptimizerFactory:
         lr = learning_rate if learning_rate is not None else self.args["lr"]
         tx = self._base_tx(lr)
         if self.args.get("bcosify", None) is not None and params is not None:
+            # The reference's two-optimizer split hands each optimizer a
+            # DISJOINT parameter list (bcosify_trainer.py:98: SGD over only
+            # the .b params; the main optimizer never sees them), so each
+            # one's update for the other group must be exactly zero. NOTE
+            # optax.masked is wrong here — it passes unmasked updates
+            # through UNCHANGED (i.e. raw gradients), which would apply
+            # unscaled gradient steps to the other group when the train
+            # step adds both update trees (tests/test_b_schedule_parity.py
+            # caught this).
             b_opt = bool(self.args.get("b_opt", False))
-
-            def mask_fn(p):
-                labels = b_param_labels(p)
-                want = "b" if b_opt else "main"
-                return jax.tree_util.tree_map(lambda l: l == want, labels)
-
-            tx = optax.masked(tx, mask_fn)
+            want = "b" if b_opt else "main"
+            other = "main" if b_opt else "b"
+            tx = optax.multi_transform(
+                {want: tx, other: optax.set_to_zero()}, b_param_labels
+            )
         return tx
 
     # with_* helpers (optimizer_factory.py:97-137)

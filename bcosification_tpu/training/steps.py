@@ -16,6 +16,7 @@ directly; the `b_loss`/`clamping` variants train them with the auxiliary SGD.
 from __future__ import annotations
 
 import dataclasses
+import math
 from functools import partial
 from typing import Any, Callable, Dict, Optional, Tuple
 
@@ -29,7 +30,14 @@ from bcosification_tpu.optim.optimizer_factory import b_param_labels, is_b_param
 from bcosification_tpu.training import agc as agc_lib
 from bcosification_tpu.training import ema as ema_lib
 
-__all__ = ["TrainState", "create_train_state", "make_train_step", "make_eval_step", "set_b_params"]
+__all__ = [
+    "TrainState",
+    "create_train_state",
+    "make_train_step",
+    "make_eval_step",
+    "set_b_params",
+    "make_linear_b_schedule",
+]
 
 
 class TrainState(struct.PyTreeNode):
@@ -48,6 +56,52 @@ def set_b_params(params, value):
     return jax.tree_util.tree_map_with_path(
         lambda path, p: jnp.full_like(p, value) if is_b_param(path) else p, params
     )
+
+
+def make_linear_b_schedule(
+    b_at_start: float = 1.0,
+    b_at_end: float = 2.0,
+    b_lr: float = 1e-4,
+    world_size: int = 1,
+    batch_size: int = 1,
+):
+    """Closed form of the reference's forced-gradient b interpolation.
+
+    The reference registers a gradient hook on every learnable ``b`` that
+    replaces the loss gradient with ``-batch_size`` while
+    ``b_at_start <= b < b_at_end`` and zeroes it once ``b >= b_at_end``
+    (hooks.py:7-23); a dedicated ``SGD(lr=b_lr * num_gpus)`` then steps it
+    every batch (bcosify_trainer.py:88-107, incl. the lr x num_gpus
+    scaling). Each SGD step is therefore a constant increment
+
+        delta = b_lr * num_gpus * per_device_batch_size,
+
+    starting from ``b_at_start + 1e-6`` (trainer.py:463 initialises b there
+    to dodge the b==1 fast path) and freezing at the FIRST value >= b_at_end
+    (the crossing step overshoots and stays). The returned ``schedule(step)``
+    reproduces that trajectory exactly: b(t) = start + min(t, K) * delta with
+    K the first t whose value crosses ``b_at_end``.
+
+    ``world_size * batch_size`` must be the GLOBAL per-step batch — callers
+    on the sharded-global-batch path pass world_size=1 (devices shard the
+    loader batch, they don't multiply it), matching the reference's
+    num_gpus * per_gpu_batch product. Differentially tested against the
+    reference's own Hook + SGD in tests/test_b_schedule_parity.py.
+    """
+    start = float(b_at_start) + 1e-6
+    delta = float(b_lr) * int(world_size) * int(batch_size)
+    if delta <= 0:
+        raise ValueError(f"linear_b needs a positive increment, got {delta}")
+    if start >= float(b_at_end):
+        k_freeze = 0  # the hook zeroes gradients from the first backward on
+    else:
+        k_freeze = math.ceil((float(b_at_end) - start) / delta)
+
+    def schedule(step):
+        k = jnp.minimum(step, k_freeze).astype(jnp.float32)
+        return jnp.float32(start) + k * jnp.float32(delta)
+
+    return schedule
 
 
 def create_train_state(
@@ -149,6 +203,12 @@ def make_train_step(
             new_params = optax.apply_updates(new_params, b_updates)
 
         step = state.step + 1
+        if b_schedule is not None:
+            # pin the stored b leaves to the value the NEXT forward will use,
+            # so checkpoints/EMA never carry a main-optimizer residue on b
+            # (the reference's main optimizer simply never sees the b params,
+            # optimizer_factory.py:62-64)
+            new_params = set_b_params(new_params, b_schedule(step))
         ema_params, ema_bs = state.ema_params, state.ema_batch_stats
         if ema_decay is not None and ema_params is not None:
             ema_params = ema_lib.maybe_ema_update(

@@ -404,8 +404,25 @@ class Trainer:
 
         bargs = config.get("model", {}).get("bcosify_args", {}) or {}
         b_schedule = None
-        if bargs.get("b_interpolation", False):
-            # explicit b: 1 -> 2 linear schedule over training (hooks.py:7-23)
+        if bargs.get("linear_b", False) and not bargs.get("b_loss", False):
+            # The reference's forced-gradient hook + dedicated SGD
+            # (hooks.py:7-23, bcosify_trainer.py:88-107) in closed form.
+            # world_size * batch_size must be the GLOBAL per-step batch
+            # (= the reference's num_gpus * per_gpu_batch): on the default
+            # path the loader batch IS global (devices shard it), on
+            # split_by_process each of process_count hosts adds a local
+            # slice — same convention as adjusted_ema_decay above.
+            b_schedule = steps_lib.make_linear_b_schedule(
+                b_at_start=bargs.get("b_at_start", 1),
+                b_at_end=bargs.get("b_at_end", 2),
+                b_lr=bargs.get("b_lr", 0.0001),
+                world_size=jax.process_count() if split_local else 1,
+                batch_size=datamodule.batch_size,
+            )
+        elif bargs.get("b_interpolation", False):
+            # repo extension: b 1 -> 2 as a fraction of total training,
+            # independent of batch size / lr (a step-count reparameterisation
+            # of the same linear trajectory)
             total = max_epochs * steps_per_epoch
 
             def b_schedule(step):  # noqa: F811
