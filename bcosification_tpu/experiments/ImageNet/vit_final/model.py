@@ -58,9 +58,11 @@ def get_model(model_config):
         **args,
     )
 
+    from bcosification_tpu.utils.init_mode import initialize
+
     input_size = 224 if "patch16_224" in arch_name else 14
     x0 = jnp.zeros((1, input_size, input_size, channels), jnp.float32)
-    variables = jax.jit(model.init)(
-        jax.random.PRNGKey(model_config.get("seed", 0) or 0), x0
+    variables = initialize(
+        model, jax.random.PRNGKey(model_config.get("seed", 0) or 0), x0
     )
     return model, variables

@@ -99,11 +99,74 @@ def list_available() -> List[str]:
     return sorted(_REGISTRY)
 
 
+def fetch_checkpoint(url: str, dest: Path) -> Path:
+    """Download `url` to `dest`, verifying the torch.hub-style sha256 prefix
+    embedded in the release filename (ref pretrained.py URLs all carry a
+    `-<sha10>.pth` suffix; torch.hub's load_state_dict_from_url checks it,
+    hub.py `check_hash`). Supports file:// URLs (used by the unit tests and
+    by air-gapped mirrors)."""
+    import hashlib
+    import re
+    import urllib.request
+
+    dest.parent.mkdir(parents=True, exist_ok=True)
+    tmp = dest.with_name(dest.name + ".part")
+    urllib.request.urlretrieve(url, tmp)
+    m = re.search(r"-([0-9a-f]{8,64})\.(pth|npz)$", dest.name)
+    if m:
+        digest = hashlib.sha256(tmp.read_bytes()).hexdigest()
+        if not digest.startswith(m.group(1)):
+            tmp.unlink()
+            raise RuntimeError(
+                f"sha256 mismatch for {url}: got {digest[:12]}…, "
+                f"filename promises {m.group(1)}"
+            )
+    tmp.replace(dest)
+    return dest
+
+
+def _maybe_fetch_npz(name: str, npz_path: Path) -> bool:
+    """Egress-gated released-weights fetch (ref pretrained.py:44-117 consumes
+    the URL table via torch.hub at call time). Zero-egress behaviour is
+    unchanged (the gate is off by default); with BCOS_ALLOW_DOWNLOAD=1 and a
+    known release URL this downloads the .pth next to the npz cache, converts
+    it with the released-weights importer, and caches `<name>.npz` — so
+    `load_model(name, pretrained=True)` works exactly like the reference's
+    entrypoints on egress-capable hosts."""
+    if os.getenv("BCOS_ALLOW_DOWNLOAD", "0") != "1":
+        return False
+    url = pretrained_url(name)
+    if not url:
+        return False
+    try:
+        pth = fetch_checkpoint(url, npz_path.parent / "downloads" / url.rsplit("/", 1)[-1])
+    except Exception as e:  # noqa: BLE001 — network errors degrade to random init
+        warnings.warn(f"download of {url} failed: {e}")
+        return False
+    try:
+        from bcosification_tpu.bcosify.release_import import convert_release_checkpoint
+
+        variables = convert_release_checkpoint(name, pth)
+    except Exception as e:  # noqa: BLE001
+        warnings.warn(f"conversion of {pth} failed: {e}")
+        return False
+    import numpy as np_  # local alias: keep module-level np for jax trees
+
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(variables)[0]:
+        key = "/".join(p.key if hasattr(p, "key") else str(p) for p in path)
+        flat[key] = np_.asarray(leaf)
+    tmp = npz_path.with_name(npz_path.name + ".tmp.npz")
+    np_.savez(tmp, **flat)
+    tmp.replace(npz_path)
+    return True
+
+
 def _load_weights_npz(name: str, variables):
     url = pretrained_url(name)
     hint = (
         f" Released reference weights: {url} — download and convert with "
-        "scripts/import_torch_checkpoint.py."
+        "scripts/import_torch_checkpoint.py, or set BCOS_ALLOW_DOWNLOAD=1."
         if url
         else " Export trained checkpoints with scripts/strip_checkpoints.py."
     )
@@ -114,7 +177,7 @@ def _load_weights_npz(name: str, variables):
         )
         return variables
     path = Path(root) / f"{name}.npz"
-    if not path.exists():
+    if not path.exists() and not _maybe_fetch_npz(name, path):
         warnings.warn(f"No weights at {path}; random init.{hint}")
         return variables
     from bcosification_tpu.bcosify.torch_import import fill_variables
@@ -137,8 +200,10 @@ def load_model(name: str, pretrained: bool = True, **kwargs):
 
 
 def _init(model, input_shape):
+    from bcosification_tpu.utils.init_mode import initialize
+
     x0 = jnp.zeros((1, *input_shape), jnp.float32)
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x0)
+    variables = initialize(model, jax.random.PRNGKey(0), x0)
     return model, variables
 
 
@@ -180,20 +245,51 @@ def _register_zoo():
             (lambda f: lambda **kw: _init(f(**kw), (224, 224, 6)))(factory),
             name=name,
         )
+    # B-cos ViTs route through the vit_final experiment factory with the
+    # released `bcos_*` config args (ref pretrained.py:859-1183 uses
+    # _get_model(..., base_network="vit_final"); args per
+    # vit_final/experiment_parameters.py:139-186: NoBias(DetachableLayerNorm),
+    # Identity activation, 6 channels, NoBias(DetachableGNLayerNorm2d) for the
+    # ViT-C conv stems, BcosLinear/BcosConv2d with b=2 max_out=1, and
+    # logit_bias=log(1/(num_classes-1))). Routing through the factory keeps
+    # entrypoint structure identical to the released checkpoints.
+    import math
+
+    from bcosification_tpu.modules import norms as _norms
+
+    def _bcos_vit(arch):
+        def build(**kw):
+            from bcosification_tpu.experiments.ImageNet.vit_final.model import (
+                get_model,
+            )
+
+            nc = kw.get("num_classes", 1000)
+            args = dict(
+                norm_layer=_norms.NoBias(_norms.DetachableLayerNorm),
+                act_layer="identity",
+                channels=6,
+                norm2d_layer=_norms.NoBias(_norms.DetachableGNLayerNorm2d),
+                **kw,
+            )
+            return get_model(
+                dict(
+                    is_bcos=True,
+                    name=arch,
+                    args=args,
+                    bcos_args=dict(b=2, max_out=1),
+                    logit_bias=math.log(1.0 / (nc - 1)),
+                )
+            )
+
+        return build
+
     for name in [
         "simple_vit_ti_patch16_224", "simple_vit_s_patch16_224",
         "simple_vit_b_patch16_224", "simple_vit_l_patch16_224",
         "vitc_ti_patch1_14", "vitc_s_patch1_14", "vitc_b_patch1_14",
         "vitc_l_patch1_14",
     ]:
-        factory = getattr(vit, name)
-        size = 224 if "patch16_224" in name else 14
-        register(
-            (lambda f, s: lambda **kw: _init(
-                f(with_logit_layer=True, **kw), (s, s, 6)
-            ))(factory, size),
-            name=name,
-        )
+        register(_bcos_vit(name), name=name)
 
     # "_long" released weights: identical architectures, longer training runs
     # (ref pretrained.py:710-845); the per-name npz lookup picks the right
