@@ -145,6 +145,7 @@ class MoEFeedForward(nn.Module):
     norm_layer: Callable = norms.DetachableLayerNorm
     act_layer: Callable = Identity
     capacity_factor: float = 1.25
+    top_k: int = 1
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, explain: bool = False):
@@ -167,7 +168,8 @@ class MoEFeedForward(nn.Module):
         x = self.act_layer(name="act")(x, **f)
         x = BcosMoE(
             self.num_experts, self.out_dim, b=b,
-            capacity_factor=self.capacity_factor, name="moe2",
+            capacity_factor=self.capacity_factor, top_k=self.top_k,
+            name="moe2",
         )(x, **f)
         return x
 
@@ -220,6 +222,7 @@ class Encoder(nn.Module):
     qkv_layer: Callable = PlainLinear
     moe_experts: int = 0  # >0: switch-MoE FFN (beyond-reference, see MoEFeedForward)
     moe_capacity_factor: float = 1.25
+    moe_top_k: int = 1
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, explain: bool = False):
@@ -241,6 +244,7 @@ class Encoder(nn.Module):
                 self.norm_layer,
                 self.act_layer,
                 capacity_factor=self.moe_capacity_factor,
+                top_k=self.moe_top_k,
                 name="ff",
             )
         else:
@@ -289,6 +293,7 @@ class SimpleViT(nn.Module):
     pos_embedding: bool = True
     moe_experts: int = 0  # >0: switch-MoE FFNs (beyond-reference)
     moe_capacity_factor: float = 1.25
+    moe_top_k: int = 1
 
     @nn.compact
     def __call__(self, img, *, train: bool = False, explain: bool = False):
@@ -332,6 +337,7 @@ class SimpleViT(nn.Module):
                 self.qkv_layer,
                 moe_experts=self.moe_experts,
                 moe_capacity_factor=self.moe_capacity_factor,
+                moe_top_k=self.moe_top_k,
                 name=f"encoder_{i}",
             )(x, **f)
 

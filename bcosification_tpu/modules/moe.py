@@ -1,4 +1,4 @@
-"""B-cos Mixture-of-Experts with switch (top-1) routing — expert-parallel.
+"""B-cos Mixture-of-Experts with top-k capacity-factor routing — expert-parallel.
 
 Beyond-reference: shrebox/B-cosification has no MoE anywhere; this module
 exists so the framework's scaling story covers expert parallelism alongside
@@ -57,17 +57,29 @@ def load_balancing_loss(router_probs: jax.Array, expert_idx: jax.Array) -> jax.A
 
 
 class BcosMoE(nn.Module):
-    """Top-1-routed mixture of B-cos linear experts over the last axis."""
+    """Top-k-routed mixture of B-cos linear experts over the last axis.
+
+    ``top_k=1`` is switch-transformer routing (the default, raw max-prob
+    gate). ``top_k>1`` routes each token to its k best experts with
+    GShard-style priority — ALL first choices claim capacity slots before
+    any second choice, so over-capacity pressure drops lower choices first —
+    and (by default) Mixtral-style gates renormalised over the selected k.
+    Capacity scales with k: each expert takes at most
+    ``ceil(k * tokens / experts * capacity_factor)`` assignments.
+    """
 
     num_experts: int
     features: int
     b: float = 2.0
     capacity_factor: float = 1.25
     normalize_weights: bool = True
+    top_k: int = 1
+    renormalize_gates: bool = True
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, explain: bool = False):
-        E, F = self.num_experts, self.features
+        E, F, K = self.num_experts, self.features, self.top_k
+        assert 1 <= K <= E, (K, E)
         d = x.shape[-1]
         lead = x.shape[:-1]
         N = int(np.prod(lead))
@@ -85,23 +97,34 @@ class BcosMoE(nn.Module):
 
         logits = xt.astype(jnp.float32) @ router
         probs = jax.nn.softmax(logits, axis=-1)
-        gate = jnp.max(probs, axis=-1)  # (N,)
-        expert_idx = jnp.argmax(probs, axis=-1)  # (N,)
+        gates, top_idx = jax.lax.top_k(probs, K)  # both (N, K)
+        if K > 1 and self.renormalize_gates:
+            gates = gates / jnp.sum(gates, axis=-1, keepdims=True)
         if explain:
             # the gate is a modulation, not part of the linear map — detach it
             # exactly like the B-cos dynamic scale / attention q,k
-            gate = jax.lax.stop_gradient(gate)
+            gates = jax.lax.stop_gradient(gates)
         # for load_balancing_loss: apply with mutable=["intermediates"]
+        # (expert_idx stays the FIRST choice — the aux loss balances primary
+        # assignments, the GShard/switch convention, also under top-k)
         self.sow("intermediates", "router_probs", probs)
-        self.sow("intermediates", "expert_idx", expert_idx)
+        self.sow("intermediates", "expert_idx", top_idx[:, 0])
+        if K > 1:
+            self.sow("intermediates", "top_idx", top_idx)
 
-        C = int(np.ceil(N / E * self.capacity_factor))
-        onehot = jax.nn.one_hot(expert_idx, E, dtype=jnp.int32)  # (N, E)
-        # position of each token within its expert's buffer (0-based)
-        pos = jnp.cumsum(onehot, axis=0) * onehot - 1  # (N, E), -1 where unrouted
-        pos_in_expert = jnp.sum(pos * onehot, axis=-1)  # (N,)
+        # flatten (token, choice) assignments CHOICE-MAJOR: the cumsum below
+        # then hands out each expert's capacity to all rank-0 choices before
+        # any rank-1 choice (GShard priority). M = K*N assignments.
+        idx_m = top_idx.T.reshape(K * N)  # (M,)
+        gate_m = gates.T.reshape(K * N)  # (M,)
+
+        C = int(np.ceil(K * N / E * self.capacity_factor))
+        onehot = jax.nn.one_hot(idx_m, E, dtype=jnp.int32)  # (M, E)
+        # position of each assignment within its expert's buffer (0-based)
+        pos = jnp.cumsum(onehot, axis=0) * onehot - 1  # (M, E), -1 where unrouted
+        pos_in_expert = jnp.sum(pos * onehot, axis=-1)  # (M,)
         keep = (pos_in_expert >= 0) & (pos_in_expert < C)
-        # dispatch tensor (N, E, C): 1 where token n goes to slot (e, c)
+        # dispatch tensor (M, E, C): 1 where assignment m lands in slot (e, c)
         dispatch = (
             onehot[:, :, None]
             * jax.nn.one_hot(jnp.clip(pos_in_expert, 0, C - 1), C, dtype=jnp.int32)[
@@ -114,8 +137,9 @@ class BcosMoE(nn.Module):
         # ones, NOT zeros: combine ignores them either way, but an all-zero
         # row hits ||x||=0 whose sqrt-VJP partial is inf, and the zero
         # cotangent times inf would NaN the expert weight grads (0*inf)
-        xe = jnp.einsum("nec,nd->ecd", dispatch, xt)
-        occupied = jnp.einsum("nec->ec", dispatch)  # 1 where a token landed
+        xm = jnp.tile(xt, (K, 1))  # (M, d): assignment m carries token m % N
+        xe = jnp.einsum("mec,md->ecd", dispatch, xm)
+        occupied = jnp.einsum("mec->ec", dispatch)  # 1 where a token landed
         xe = xe + (1.0 - occupied)[..., None].astype(x.dtype)
         ye = jax.vmap(
             lambda w, xs: bcos_ops.bcos_linear(
@@ -126,8 +150,9 @@ class BcosMoE(nn.Module):
                 explain=explain,
             )
         )(experts.astype(x.dtype), xe)  # (E, C, F)
-        combine = dispatch * gate.astype(x.dtype)[:, None, None]
-        yt = jnp.einsum("nec,ecf->nf", combine, ye)
+        combine = dispatch * gate_m.astype(x.dtype)[:, None, None]
+        ym = jnp.einsum("mec,ecf->mf", combine, ye)  # (M, F)
+        yt = ym.reshape(K, N, F).sum(axis=0)
         return yt.reshape(*lead, F)
 
 

@@ -193,3 +193,114 @@ def test_moe_expert_parallel_matches_unsharded(rng):
         ),
         jax.device_get(g_ref), jax.device_get(g_ep),
     )
+
+
+def _route_reference(params, x, *, K, cf, b=2.0, renormalize=True):
+    """Greedy GShard routing in plain python: all rank-0 choices claim
+    capacity before any rank-1 choice, tokens in order within a rank."""
+    xt = np.asarray(x.reshape(-1, x.shape[-1]))
+    E = params["router"].shape[-1]
+    N = xt.shape[0]
+    probs = np.asarray(jax.nn.softmax(jnp.asarray(xt) @ params["router"], -1))
+    idx = np.argsort(-probs, axis=-1, kind="stable")[:, :K]
+    gates = np.take_along_axis(probs, idx, axis=-1)
+    if K > 1 and renormalize:
+        gates = gates / gates.sum(-1, keepdims=True)
+    C = int(np.ceil(K * N / E * cf))
+    counts = np.zeros(E, np.int64)
+    out = np.zeros((N, params["experts"].shape[-1]), np.float32)
+    for j in range(K):
+        for n in range(N):
+            e = int(idx[n, j])
+            if counts[e] < C:
+                counts[e] += 1
+                y = bcos_ops.bcos_linear(
+                    jnp.asarray(xt[n]), params["experts"][e], b=b
+                )
+                out[n] += gates[n, j] * np.asarray(y)
+    return out
+
+
+def test_moe_top2_matches_greedy_reference(rng):
+    # generous capacity: nothing drops; output = sum of the 2 best experts'
+    # outputs weighted by the renormalised top-2 gates
+    moe, params, x = _build(rng, E=4, capacity_factor=8.0, top_k=2)
+    y = np.asarray(moe.apply({"params": params}, x)).reshape(-1, 24)
+    want = _route_reference(params, x, K=2, cf=8.0)
+    np.testing.assert_allclose(y, want, rtol=1e-4, atol=1e-5)
+
+
+def test_moe_top2_priority_under_capacity_pressure(rng):
+    # tight capacity: the dense dispatch must drop exactly the assignments
+    # the greedy rank-major reference drops (first choices beat second)
+    moe, params, x = _build(rng, E=4, capacity_factor=0.6, top_k=2)
+    y = np.asarray(moe.apply({"params": params}, x)).reshape(-1, 24)
+    want = _route_reference(params, x, K=2, cf=0.6)
+    np.testing.assert_allclose(y, want, rtol=1e-4, atol=1e-5)
+    # and pressure actually existed (some token lost a choice)
+    y_full = _route_reference(params, x, K=2, cf=8.0)
+    assert not np.allclose(y, y_full), "capacity pressure test had no drops"
+
+
+def test_moe_top2_raw_gates(rng):
+    moe, params, x = _build(
+        rng, E=4, capacity_factor=8.0, top_k=2, renormalize_gates=False
+    )
+    y = np.asarray(moe.apply({"params": params}, x)).reshape(-1, 24)
+    want = _route_reference(params, x, K=2, cf=8.0, renormalize=False)
+    np.testing.assert_allclose(y, want, rtol=1e-4, atol=1e-5)
+
+
+def test_moe_top2_explain_values_identical_and_complete(rng):
+    moe, params, x = _build(rng, E=4, capacity_factor=8.0, top_k=2)
+    y = moe.apply({"params": params}, x)
+    y_expl = moe.apply({"params": params}, x, explain=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_expl), rtol=0, atol=0)
+
+    def f(x):
+        return moe.apply({"params": params}, x, explain=True)
+
+    _, jvp = jax.jvp(f, (x,), (x,))
+    np.testing.assert_allclose(np.asarray(jvp), np.asarray(y), rtol=2e-4, atol=1e-5)
+
+    # finite grads in both modes (dropped slots must not NaN: ones-fill)
+    for kw in ({}, {"explain": True}):
+        g = jax.grad(
+            lambda p: jnp.sum(moe.apply({"params": p}, x, **kw) ** 2)
+        )(params)
+        assert all(
+            np.isfinite(np.asarray(l)).all()
+            for l in jax.tree_util.tree_leaves(g)
+        )
+
+
+def test_moe_top2_expert_parallel_matches_unsharded(rng):
+    mesh = mesh_lib.make_mesh(model_parallel=4)
+    moe, params, x = _build(rng, E=8, capacity_factor=8.0, top_k=2)
+    want = jax.jit(lambda p, x: moe.apply({"params": p}, x))(params, x)
+    p_ep = tp_lib.shard_params(params, mesh, ep_param_specs(params, n_shards=4))
+    x_sh = jax.device_put(x, NamedSharding(mesh, P("data")))
+    got = jax.jit(lambda p, x: moe.apply({"params": p}, x))(p_ep, x_sh)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6
+    )
+
+
+def test_moe_vit_top2_integration(rng):
+    from bcosification_tpu.models import vit as vit_lib
+
+    model = vit_lib.SimpleViT(
+        image_size=16, patch_size=4, num_classes=5, dim=32, depth=1, heads=4,
+        mlp_dim=48, moe_experts=4, moe_top_k=2,
+    )
+    x = jnp.asarray(rng.standard_normal((4, 16, 16, 6)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    y = model.apply({"params": params}, x, train=False)
+    y_expl = model.apply({"params": params}, x, train=False, explain=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_expl), rtol=0, atol=0)
+    # top-2 sows the full choice matrix
+    _, inter = model.apply(
+        {"params": params}, x, train=False, mutable=["intermediates"]
+    )
+    top_idx = inter["intermediates"]["encoder_0"]["ff"]["moe2"]["top_idx"][0]
+    assert top_idx.shape[-1] == 2
