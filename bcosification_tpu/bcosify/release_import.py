@@ -59,11 +59,18 @@ def load_torch_state_dict(source: Union[str, Path, Mapping]) -> Dict[str, np.nda
     and strips DataParallel's ``module.`` prefix.
     """
     if isinstance(source, (str, Path)):
+        import pickle
+
         import torch
 
         try:
             obj = torch.load(source, map_location="cpu", weights_only=True)
-        except Exception:  # older torch / pickled objects in the checkpoint
+        except (pickle.UnpicklingError, RuntimeError):
+            # weights_only rejects legacy formats / pickled wrapper objects
+            # with UnpicklingError (or RuntimeError on older torch). Only
+            # those fall back to full unpickling; IO/corruption errors keep
+            # their original diagnostic (and a crafted file can't route
+            # itself into the unsafe loader via an arbitrary exception).
             obj = torch.load(source, map_location="cpu")
     else:
         obj = source
@@ -316,7 +323,11 @@ def convert_state_dict(abstract, sd: Mapping[str, np.ndarray], tpath: Callable):
 
 
 def convert_release_checkpoint(
-    name: str, source: Union[str, Path, Mapping], **model_kwargs
+    name: str,
+    source: Union[str, Path, Mapping],
+    rebuild_norm: bool = True,
+    return_model: bool = False,
+    **model_kwargs,
 ):
     """Entry point: registry name + released checkpoint -> flax variables.
 
@@ -328,18 +339,29 @@ def convert_release_checkpoint(
     default norm is stat-less (or vice versa), the CNN families are rebuilt
     once with the matching uncentered norm — the released zoo shipped both
     position-norm and BNU trainings under one architecture name
-    (ref pretrained.py:616-706 `_bnu` vs `_pn` variants).
+    (ref pretrained.py:616-706 `_bnu` vs `_pn` variants). Callers that need
+    the converted variables to fit the entrypoint's DEFAULT build exactly
+    (e.g. the npz cache behind ``load_model(..., pretrained=True)``) pass
+    ``rebuild_norm=False`` so a flavour mismatch fails loudly here instead
+    of producing a tree the default model cannot consume.
+
+    ``return_model=True`` returns ``(model, variables)`` with the flax model
+    the conversion actually targeted (which differs from the registry
+    default when the rebuild branch fired) — required for running the
+    converted weights, since a rebuilt-flavour tree under a default-flavour
+    model would silently compute the wrong norm.
     """
     from bcosification_tpu.models.pretrained import load_model
     from bcosification_tpu.utils.init_mode import abstract_init
 
     sd = load_torch_state_dict(source)
     with abstract_init():
-        _, abstract = load_model(name, pretrained=False, **model_kwargs)
+        model, abstract = load_model(name, pretrained=False, **model_kwargs)
         sd_has_stats = any(k.endswith("running_var") for k in sd)
         tree_has_stats = isinstance(abstract, Mapping) and "batch_stats" in abstract
         if (
-            sd_has_stats != tree_has_stats
+            rebuild_norm
+            and sd_has_stats != tree_has_stats
             and family_of(name) in ("resnet", "densenet", "convnext")
             and "norm_layer" not in model_kwargs
         ):
@@ -350,7 +372,8 @@ def convert_release_checkpoint(
                 if sd_has_stats
                 else norms.DetachablePositionNorm2d
             )
-            _, abstract = load_model(
+            model, abstract = load_model(
                 name, pretrained=False, norm_layer=norm, **model_kwargs
             )
-    return convert_state_dict(abstract, sd, _tpath_for(name, abstract))
+    variables = convert_state_dict(abstract, sd, _tpath_for(name, abstract))
+    return (model, variables) if return_model else variables

@@ -99,70 +99,98 @@ def list_available() -> List[str]:
     return sorted(_REGISTRY)
 
 
-def fetch_checkpoint(url: str, dest: Path) -> Path:
+def fetch_checkpoint(url: str, dest: Path, timeout: float = 120.0) -> Path:
     """Download `url` to `dest`, verifying the torch.hub-style sha256 prefix
     embedded in the release filename (ref pretrained.py URLs all carry a
     `-<sha10>.pth` suffix; torch.hub's load_state_dict_from_url checks it,
     hub.py `check_hash`). Supports file:// URLs (used by the unit tests and
-    by air-gapped mirrors)."""
+    by air-gapped mirrors).
+
+    The download lands in a per-process temp name (two concurrent fetches
+    of the same checkpoint cannot interleave into one file) that is always
+    removed on failure; ``timeout`` bounds a stalled connection so
+    ``load_model`` keeps its warn-and-degrade contract instead of hanging.
+    """
     import hashlib
     import re
+    import shutil
     import urllib.request
 
     dest.parent.mkdir(parents=True, exist_ok=True)
-    tmp = dest.with_name(dest.name + ".part")
-    urllib.request.urlretrieve(url, tmp)
-    m = re.search(r"-([0-9a-f]{8,64})\.(pth|npz)$", dest.name)
-    if m:
-        digest = hashlib.sha256(tmp.read_bytes()).hexdigest()
-        if not digest.startswith(m.group(1)):
-            tmp.unlink()
-            raise RuntimeError(
-                f"sha256 mismatch for {url}: got {digest[:12]}…, "
-                f"filename promises {m.group(1)}"
+    tmp = dest.with_name(f"{dest.name}.{os.getpid()}.part")
+    try:
+        with urllib.request.urlopen(url, timeout=timeout) as resp, open(
+            tmp, "wb"
+        ) as out:
+            shutil.copyfileobj(resp, out)
+        m = re.search(r"-([0-9a-f]{8,64})\.(pth|npz)$", dest.name)
+        if m:
+            digest = hashlib.sha256(tmp.read_bytes()).hexdigest()
+            if not digest.startswith(m.group(1)):
+                raise RuntimeError(
+                    f"sha256 mismatch for {url}: got {digest[:12]}…, "
+                    f"filename promises {m.group(1)}"
+                )
+        else:
+            warnings.warn(
+                f"{dest.name} carries no -<sha>.pth hash suffix; "
+                f"download from {url} is NOT integrity-checked"
             )
-    tmp.replace(dest)
+        tmp.replace(dest)
+    finally:
+        tmp.unlink(missing_ok=True)
     return dest
 
 
-def _maybe_fetch_npz(name: str, npz_path: Path) -> bool:
+def _maybe_fetch_npz(name: str, npz_path: Path, model_kwargs: Dict) -> Optional[Dict]:
     """Egress-gated released-weights fetch (ref pretrained.py:44-117 consumes
     the URL table via torch.hub at call time). Zero-egress behaviour is
     unchanged (the gate is off by default); with BCOS_ALLOW_DOWNLOAD=1 and a
     known release URL this downloads the .pth next to the npz cache, converts
-    it with the released-weights importer, and caches `<name>.npz` — so
+    it with the released-weights importer, and returns the variables — so
     `load_model(name, pretrained=True)` works exactly like the reference's
-    entrypoints on egress-capable hosts."""
+    entrypoints on egress-capable hosts.
+
+    The conversion targets the EXACT tree the caller built
+    (``rebuild_norm=False`` + the caller's model kwargs), so a checkpoint
+    whose norm flavour or shapes don't fit warns-and-degrades here instead
+    of caching an npz that every later ``load_model`` would crash on. The
+    npz cache is only written for the default (kwargs-free) build — it is
+    keyed by name alone.
+    """
     if os.getenv("BCOS_ALLOW_DOWNLOAD", "0") != "1":
-        return False
+        return None
     url = pretrained_url(name)
     if not url:
-        return False
+        return None
     try:
         pth = fetch_checkpoint(url, npz_path.parent / "downloads" / url.rsplit("/", 1)[-1])
     except Exception as e:  # noqa: BLE001 — network errors degrade to random init
         warnings.warn(f"download of {url} failed: {e}")
-        return False
+        return None
     try:
         from bcosification_tpu.bcosify.release_import import convert_release_checkpoint
 
-        variables = convert_release_checkpoint(name, pth)
+        variables = convert_release_checkpoint(
+            name, pth, rebuild_norm=False, **model_kwargs
+        )
     except Exception as e:  # noqa: BLE001
         warnings.warn(f"conversion of {pth} failed: {e}")
-        return False
-    import numpy as np_  # local alias: keep module-level np for jax trees
+        return None
+    if not model_kwargs:
+        import numpy as np_  # local alias: keep module-level np for jax trees
 
-    flat = {}
-    for path, leaf in jax.tree_util.tree_flatten_with_path(variables)[0]:
-        key = "/".join(p.key if hasattr(p, "key") else str(p) for p in path)
-        flat[key] = np_.asarray(leaf)
-    tmp = npz_path.with_name(npz_path.name + ".tmp.npz")
-    np_.savez(tmp, **flat)
-    tmp.replace(npz_path)
-    return True
+        flat = {}
+        for path, leaf in jax.tree_util.tree_flatten_with_path(variables)[0]:
+            key = "/".join(p.key if hasattr(p, "key") else str(p) for p in path)
+            flat[key] = np_.asarray(leaf)
+        tmp = npz_path.with_name(f"{npz_path.name}.{os.getpid()}.tmp.npz")
+        np_.savez(tmp, **flat)
+        tmp.replace(npz_path)
+    return variables
 
 
-def _load_weights_npz(name: str, variables):
+def _load_weights_npz(name: str, variables, model_kwargs: Optional[Dict] = None):
     url = pretrained_url(name)
     hint = (
         f" Released reference weights: {url} — download and convert with "
@@ -177,7 +205,10 @@ def _load_weights_npz(name: str, variables):
         )
         return variables
     path = Path(root) / f"{name}.npz"
-    if not path.exists() and not _maybe_fetch_npz(name, path):
+    if not path.exists():
+        fetched = _maybe_fetch_npz(name, path, model_kwargs or {})
+        if fetched is not None:
+            return fetched
         warnings.warn(f"No weights at {path}; random init.{hint}")
         return variables
     from bcosification_tpu.bcosify.torch_import import fill_variables
@@ -195,7 +226,7 @@ def load_model(name: str, pretrained: bool = True, **kwargs):
         raise ValueError(f"Unknown entrypoint {name!r}. Available: {list_available()}")
     model, variables = _REGISTRY[name](**kwargs)
     if pretrained:
-        variables = _load_weights_npz(name, variables)
+        variables = _load_weights_npz(name, variables, kwargs)
     return model, variables
 
 

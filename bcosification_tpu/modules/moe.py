@@ -116,7 +116,6 @@ class BcosMoE(nn.Module):
         # then hands out each expert's capacity to all rank-0 choices before
         # any rank-1 choice (GShard priority). M = K*N assignments.
         idx_m = top_idx.T.reshape(K * N)  # (M,)
-        gate_m = gates.T.reshape(K * N)  # (M,)
 
         C = int(np.ceil(K * N / E * self.capacity_factor))
         onehot = jax.nn.one_hot(idx_m, E, dtype=jnp.int32)  # (M, E)
@@ -133,13 +132,19 @@ class BcosMoE(nn.Module):
             * keep[:, None, None]
         ).astype(x.dtype)
 
+        # Assignment (k, n) carries token n, so collapsing the choice axis
+        # first lets the dispatch/combine einsums run over N rows instead of
+        # K*N (no K-fold tile of the activations, 1/K the contraction FLOPs).
+        # Exact: each (e, c) slot is claimed by at most one assignment, so
+        # the collapse only folds zeros into the sums.
+        dispatch_n = dispatch.reshape(K, N, E, C).sum(axis=0)  # (N, E, C)
+
         # (E, C, d): each expert's token buffer. Empty slots are filled with
         # ones, NOT zeros: combine ignores them either way, but an all-zero
         # row hits ||x||=0 whose sqrt-VJP partial is inf, and the zero
         # cotangent times inf would NaN the expert weight grads (0*inf)
-        xm = jnp.tile(xt, (K, 1))  # (M, d): assignment m carries token m % N
-        xe = jnp.einsum("mec,md->ecd", dispatch, xm)
-        occupied = jnp.einsum("mec->ec", dispatch)  # 1 where a token landed
+        xe = jnp.einsum("nec,nd->ecd", dispatch_n, xt)
+        occupied = jnp.einsum("nec->ec", dispatch_n)  # 1 where a token landed
         xe = xe + (1.0 - occupied)[..., None].astype(x.dtype)
         ye = jax.vmap(
             lambda w, xs: bcos_ops.bcos_linear(
@@ -150,9 +155,12 @@ class BcosMoE(nn.Module):
                 explain=explain,
             )
         )(experts.astype(x.dtype), xe)  # (E, C, F)
-        combine = dispatch * gate_m.astype(x.dtype)[:, None, None]
-        ym = jnp.einsum("mec,ecf->mf", combine, ye)  # (M, F)
-        yt = ym.reshape(K, N, F).sum(axis=0)
+        combine_n = jnp.einsum(
+            "knec,kn->nec",
+            dispatch.reshape(K, N, E, C),
+            gates.T.astype(x.dtype),
+        )
+        yt = jnp.einsum("nec,ecf->nf", combine_n, ye)  # (N, F)
         return yt.reshape(*lead, F)
 
 

@@ -172,7 +172,17 @@ def spice_score(
         return "unsupported"
     gts = {i: [" ".join(r) for r in refs] for i, refs in enumerate(references)}
     res = {i: [" ".join(c)] for i, c in enumerate(candidates)}
-    score, _ = Spice().compute_score(gts, res)
+    try:
+        score, _ = Spice().compute_score(gts, res)
+    except Exception as e:  # noqa: BLE001 — the pip package imports fine
+        # without a JRE, but compute_score shells out to the Java scene-graph
+        # toolchain; a missing/broken JVM must degrade like a missing package
+        # instead of crashing the whole captioning evaluate()
+        import warnings
+
+        warnings.warn(f"SPICE scorer failed ({type(e).__name__}: {e}); "
+                      "reporting 'unsupported'")
+        return "unsupported"
     return float(score)
 
 

@@ -33,6 +33,11 @@ BATCH_SIZES = [32 * 8]
 
 
 def main(argv=None):
+    # honour BCOS_PLATFORM before any jax backend initialises (this runner
+    # calls cli.run directly, bypassing cli.main's apply_platform_env)
+    from bcosification_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--data_dir", default="probe_benchmark/data")
     p.add_argument("--dataset_root", default="datasets/imagenet")

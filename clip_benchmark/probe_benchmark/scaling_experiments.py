@@ -60,6 +60,13 @@ BATCH_SIZES = [32 * 8]
 
 
 def main(argv=None):
+    # like clip_benchmark.cli.main: honour BCOS_PLATFORM before any jax
+    # backend initialises — this runner calls cli.run directly, bypassing
+    # cli.main's own call (CLAUDE.md: the env var is the ONLY way to keep a
+    # CLI subprocess off the single-client TPU)
+    from bcosification_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--data_dir", default="probe_benchmark/data")
     p.add_argument(
