@@ -109,7 +109,10 @@ class PlainConv2d(nn.Module):
             lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound),
             shape,
         )
-        out = ops._conv(x, w.astype(x.dtype), self.stride, self.padding, self.dilation, self.groups)
+        out = ops._conv(
+            x, w.astype(x.dtype), self.stride, self.padding, self.dilation,
+            self.groups, allow_int8=not explain,
+        )
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
             out = out + b.astype(out.dtype)

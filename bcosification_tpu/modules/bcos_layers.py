@@ -122,6 +122,7 @@ class NormedConv2d(_ConvBase):
             scale=scale if self.use_weight_norm else None,
             bias=self._bias(x),
             use_weight_norm=self.use_weight_norm,
+            allow_int8=not explain,
         )
 
 

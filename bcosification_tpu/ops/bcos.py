@@ -186,12 +186,72 @@ def _s2d_applicable(x, w, stride, padding, dilation, groups) -> bool:
     )
 
 
-def _conv(x, w, stride, padding, dilation, groups):
+def _int8_serving_enabled() -> bool:
+    """Opt-in dynamic-int8 serving quantization (BCOS_INT8=1, default off).
+
+    v5e's MXU runs int8 x int8 -> int32 at 2x the bf16 MAC rate and int8
+    operands halve the HBM bytes per conv; measured per-conv speedups on
+    this toolchain are 2.2-2.9x for the deeper RN50 shapes
+    (scripts/perf_probe17.py). SERVING-ONLY: the round() in the quantizer
+    has zero gradient, so training or autodiff-based explanations under
+    this flag would be silently wrong — call sites therefore only allow it
+    on plain value forwards (`allow_int8=not explain`), and it must never
+    be set for training runs. Accuracy is approximate (per-tensor activation
+    scale, per-output-channel weight scale; tolerance locked in
+    tests/test_int8_serving.py).
+    """
+    import os
+
+    return os.getenv("BCOS_INT8", "0") == "1"
+
+
+def _conv_int8_dynamic(x, w, stride, padding, dilation, groups):
+    """Dynamically quantized int8 conv (NHWC/HWIO), bf16 in/out.
+
+    Per-tensor activation scale (max-abs/127, a reduction XLA fuses into
+    x's producer), per-output-channel weight scale (loop-invariant: LICM
+    hoists it out of serving loops, and jit-cached weights amortise it),
+    int32 MXU accumulation, scale-folded dequant into the consumer fusion.
+    """
+    import os
+
+    xf = x.astype(jnp.float32)
+    wf = w.astype(jnp.float32)
+    fixed = os.getenv("BCOS_INT8_SCALE")
+    if fixed is not None:
+        # static activation scale: lets the quantize fuse into x's PRODUCER
+        # (no max-dependency), so with every consumer of x fused (quant +
+        # channel_sumsq hint) the bf16 intermediate never reaches HBM.
+        # One global constant is a measurement knob (perf_probe19) — real
+        # deployments calibrate per layer.
+        sx = jnp.float32(float(fixed))
+    else:
+        sx = jnp.maximum(jnp.max(jnp.abs(xf)) / 127.0, 1e-12)
+    sw = jnp.maximum(jnp.max(jnp.abs(wf), axis=(0, 1, 2)) / 127.0, 1e-12)
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    wq = jnp.clip(jnp.round(wf / sw), -127, 127).astype(jnp.int8)
+    y = lax.conv_general_dilated(
+        xq,
+        wq,
+        window_strides=_pair(stride),
+        padding=_pad_pairs(padding),
+        rhs_dilation=_pair(dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.int32,
+    )
+    return (y.astype(jnp.float32) * (sx * sw)).astype(x.dtype)
+
+
+def _conv(x, w, stride, padding, dilation, groups, allow_int8=False):
     # HIGHEST keeps fp32 convs exactly fp32 (XLA's default may strength-reduce).
     # bf16 inputs ride the MXU, which accumulates in fp32 regardless of the
     # stored output type (preferred_element_type's transpose rule mis-types the
     # VJP in this JAX version, so we rely on the MXU's native accumulation).
     import os
+
+    if allow_int8 and _int8_serving_enabled() and x.dtype == jnp.bfloat16:
+        return _conv_int8_dynamic(x, w, stride, padding, dilation, groups)
 
     if (
         os.getenv("BCOS_1X1_DOT", "0") == "1"
@@ -728,7 +788,10 @@ def bcos_conv2d(
             groups,
         )
 
-    out = _conv(x, wn.astype(x.dtype), stride, padding, dilation, groups)
+    out = _conv(
+        x, wn.astype(x.dtype), stride, padding, dilation, groups,
+        allow_int8=not explain,
+    )
     if bias is not None:
         out = out + jnp.reshape(bias, (1, 1, 1, -1)).astype(out.dtype)
 
@@ -839,10 +902,14 @@ def normed_conv2d(
     scale: Optional[jax.Array] = None,
     bias: Optional[jax.Array] = None,
     use_weight_norm: bool = True,
+    allow_int8: bool = False,
 ) -> jax.Array:
     """Plain conv with unit-norm weights (`NormedConv2d`, bcosconv2d.py:17-41)."""
     wn = normed_conv_weight(w, scale) if use_weight_norm else w
-    out = _conv(x, wn.astype(x.dtype), stride, padding, dilation, groups)
+    out = _conv(
+        x, wn.astype(x.dtype), stride, padding, dilation, groups,
+        allow_int8=allow_int8,
+    )
     if bias is not None:
         out = out + jnp.reshape(bias, (1, 1, 1, -1)).astype(out.dtype)
     return out

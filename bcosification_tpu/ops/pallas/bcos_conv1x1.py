@@ -164,11 +164,13 @@ def _pallas_bwd_explain(x2, w, ssq, mult, ct, a, *, eps, relu, tm):
 # jnp reference (fallback + CPU tests; autodiff covers both explain modes)
 # -----------------------------------------------------------------------------
 def _jnp_path(x4, w, bias, mult, add, relu, eps, explain, x_sumsq):
-    u = lax.conv_general_dilated(
+    from bcosification_tpu.ops import bcos as _ops
+
+    # routed through ops.bcos._conv so the BCOS_INT8 serving path (value
+    # forwards only) covers the bottlenecks' 1x1 convs too
+    u = _ops._conv(
         x4, w.reshape(1, 1, *w.shape).astype(x4.dtype),
-        window_strides=(1, 1), padding=((0, 0), (0, 0)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        precision=lax.Precision.HIGHEST if x4.dtype == jnp.float32 else None,
+        (1, 1), (0, 0), (1, 1), 1, allow_int8=not explain,
     )
     if bias is not None:
         u = u + jnp.reshape(bias, (1, 1, 1, -1)).astype(u.dtype)

@@ -1,0 +1,82 @@
+"""Probe 18: end-to-end int8 serving forward (BCOS_INT8=1) vs bf16.
+
+Probe 17 measured 2.2-2.9x per-conv int8 speedups on the deep RN50 shapes
+(and ~1x on the spatially-large layer1). This probe measures the shipped
+dispatch end-to-end: the flagship RN50 b=2 forward (the serving fwd-only
+shape, bench_serving's 12.2k img/s point), INTERLEAVED bf16/int8 within one
+process (fresh trace per variant — the BCOS_INT8 gate is read at trace
+time; the tunnel mode is per-process, so interleaving is required for any
+sub-10% claim — docs/PERF.md).
+
+Also prints an accuracy proxy: top-1 agreement + logit relative error of
+the quantized forward vs bf16 on the same batch.
+
+Run on TPU: python scripts/perf_probe18.py
+"""
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+import bench
+from scripts.bench_serving import make_fwd_fn, slope
+
+REPS = int(os.getenv("PROBE18_REPS", "3"))
+
+
+def main():
+    print(f"devices: {jax.devices()}", flush=True)
+    net, variables = bench.build()
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(
+        rng.random((bench.BATCH, 224, 224, 6), dtype=np.float32)
+    ).astype(jnp.bfloat16)
+
+    fns = {}
+    for variant in ("bf16", "int8"):
+        os.environ["BCOS_INT8"] = "1" if variant == "int8" else "0"
+        fns[variant] = make_fwd_fn(net)  # fresh trace per variant
+        t0 = time.perf_counter()
+        float(fns[variant](variables, x, 2))
+        print(f"compiled {variant} ({time.perf_counter() - t0:.1f}s)",
+              flush=True)
+
+    # accuracy proxy on one batch (same weights, same input)
+    os.environ["BCOS_INT8"] = "0"
+    logits_ref = jax.jit(
+        lambda v, xx: net.apply(v, xx, train=False))(variables, x)
+    os.environ["BCOS_INT8"] = "1"
+    logits_q = jax.jit(
+        lambda v, xx: net.apply(v, xx, train=False))(variables, x)
+    ref = np.asarray(logits_ref, np.float32)
+    q = np.asarray(logits_q, np.float32)
+    agree = float(np.mean(ref.argmax(-1) == q.argmax(-1)))
+    rel = float(np.linalg.norm(q - ref) / max(np.linalg.norm(ref), 1e-12))
+    print(f"top-1 agreement: {agree:.4f}  logit rel-L2 err: {rel:.4f}",
+          flush=True)
+
+    results = {v: [] for v in fns}
+    for rep in range(REPS):
+        for variant in ("bf16", "int8"):
+            per = slope(fns[variant], variables, x, 2, 72)
+            results[variant].append(bench.BATCH / per)
+            print(f"rep {rep} {variant}: {per * 1e3:.3f} ms/iter = "
+                  f"{bench.BATCH / per:.0f} img/s", flush=True)
+
+    print("\nfwd-only serving throughput (median of reps):")
+    for variant, vals in results.items():
+        vals.sort()
+        print(f"  {variant}: {vals[len(vals) // 2]:.0f} img/s "
+              f"(all: {[round(v) for v in vals]})")
+    med = {v: sorted(r)[len(r) // 2] for v, r in results.items()}
+    print(f"int8 speedup: {med['int8'] / med['bf16']:.3f}x")
+
+
+if __name__ == "__main__":
+    main()
