@@ -111,7 +111,7 @@ class PlainConv2d(nn.Module):
         )
         out = ops._conv(
             x, w.astype(x.dtype), self.stride, self.padding, self.dilation,
-            self.groups, allow_int8=not explain,
+            self.groups, allow_int8=not explain and not train,
         )
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))

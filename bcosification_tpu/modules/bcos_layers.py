@@ -122,7 +122,10 @@ class NormedConv2d(_ConvBase):
             scale=scale if self.use_weight_norm else None,
             bias=self._bias(x),
             use_weight_norm=self.use_weight_norm,
-            allow_int8=not explain,
+            # int8 serving is inference-only: the quantizer has zero gradient
+            # (ops.bcos._int8_serving_enabled), so training forwards must not
+            # take it either
+            allow_int8=not explain and not train,
         )
 
 
@@ -336,6 +339,7 @@ class BcosConv2d(_ConvBase):
             bias=self._bias(x),
             explain=explain,
             x_sumsq=x_sumsq if self.groups == 1 else None,
+            allow_int8=not explain and not train,
         )
 
 
@@ -367,6 +371,7 @@ class BcosConv2dWithScale(BcosConv2d):
             normalize_weights=self.normalize_weights,
             bias=self._bias(x),
             explain=explain,
+            allow_int8=not explain and not train,
         )
         if self.scale is not None:
             scale = self.scale
@@ -487,6 +492,7 @@ class BcosifyConv2d(_ConvBase):
             bias=self._bias(x),
             explain=explain,
             x_sumsq=x_sumsq if self.groups == 1 else None,
+            allow_int8=not explain and not train,
         )
 
 

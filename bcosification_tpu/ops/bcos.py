@@ -192,26 +192,58 @@ def _int8_serving_enabled() -> bool:
     v5e's MXU runs int8 x int8 -> int32 at 2x the bf16 MAC rate and int8
     operands halve the HBM bytes per conv; measured per-conv speedups on
     this toolchain are 2.2-2.9x for the deeper RN50 shapes
-    (scripts/perf_probe17.py). SERVING-ONLY: the round() in the quantizer
-    has zero gradient, so training or autodiff-based explanations under
-    this flag would be silently wrong — call sites therefore only allow it
-    on plain value forwards (`allow_int8=not explain`), and it must never
-    be set for training runs. Accuracy is approximate (per-tensor activation
-    scale, per-output-channel weight scale; tolerance locked in
-    tests/test_int8_serving.py).
+    (scripts/perf_probe17.py, docs/PERF.md round-5 int8 section).
+    SERVING-ONLY: the round() in the quantizer has zero gradient, so
+    training or autodiff-based explanations under this flag would be
+    silently wrong — module call sites only allow it on plain inference
+    value forwards (`allow_int8=not explain and not train`), and the
+    quantized conv's output carries ``_int8_no_grad_guard``, whose VJP
+    raises if anything differentiates through it anyway. Accuracy is
+    approximate (per-SAMPLE activation scale, per-output-channel weight
+    scale; tolerance locked in tests/test_int8_serving.py).
     """
     import os
 
     return os.getenv("BCOS_INT8", "0") == "1"
 
 
+@jax.custom_vjp
+def _int8_no_grad_guard(y):
+    """Identity whose VJP raises: the int8 quantizer's round() has zero
+    gradient, so any autodiff through the quantized conv (training, or an
+    explanation path that slipped past the ``allow_int8`` gates) would be
+    silently wrong. Fail loudly at backward-trace time instead."""
+    return y
+
+
+def _int8_guard_fwd(y):
+    return y, None
+
+
+def _int8_guard_bwd(_, ct):
+    raise RuntimeError(
+        "BCOS_INT8 quantized conv was differentiated. The dynamic-int8 "
+        "serving path (BCOS_INT8=1) has zero gradients through its round() "
+        "quantizer — training or autodiff-based explanations under this flag "
+        "would be silently broken. Unset BCOS_INT8 for training runs; it is "
+        "a serving-only flag (tests/test_int8_serving.py)."
+    )
+
+
+_int8_no_grad_guard.defvjp(_int8_guard_fwd, _int8_guard_bwd)
+
+
 def _conv_int8_dynamic(x, w, stride, padding, dilation, groups):
     """Dynamically quantized int8 conv (NHWC/HWIO), bf16 in/out.
 
-    Per-tensor activation scale (max-abs/127, a reduction XLA fuses into
-    x's producer), per-output-channel weight scale (loop-invariant: LICM
-    hoists it out of serving loops, and jit-cached weights amortise it),
-    int32 MXU accumulation, scale-folded dequant into the consumer fusion.
+    Per-SAMPLE activation scale (max-abs over H,W,C per batch element, a
+    reduction XLA fuses into x's producer) — per-sample rather than
+    per-tensor so one high-magnitude image cannot degrade the quantization
+    of its batchmates and a given image's served logits are independent of
+    batch composition. Per-output-channel weight scale (loop-invariant:
+    LICM hoists it out of serving loops, and jit-cached weights amortise
+    it), int32 MXU accumulation, scale-folded dequant into the consumer
+    fusion. Differentiating the result raises (``_int8_no_grad_guard``).
     """
     import os
 
@@ -222,11 +254,13 @@ def _conv_int8_dynamic(x, w, stride, padding, dilation, groups):
         # static activation scale: lets the quantize fuse into x's PRODUCER
         # (no max-dependency), so with every consumer of x fused (quant +
         # channel_sumsq hint) the bf16 intermediate never reaches HBM.
-        # One global constant is a measurement knob (perf_probe19) — real
-        # deployments calibrate per layer.
-        sx = jnp.float32(float(fixed))
+        # One global constant is a measurement knob — real deployments
+        # calibrate per layer.
+        sx = jnp.full((x.shape[0], 1, 1, 1), float(fixed), jnp.float32)
     else:
-        sx = jnp.maximum(jnp.max(jnp.abs(xf)) / 127.0, 1e-12)
+        sx = jnp.maximum(
+            jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True) / 127.0, 1e-12
+        )
     sw = jnp.maximum(jnp.max(jnp.abs(wf), axis=(0, 1, 2)) / 127.0, 1e-12)
     xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
     wq = jnp.clip(jnp.round(wf / sw), -127, 127).astype(jnp.int8)
@@ -240,7 +274,8 @@ def _conv_int8_dynamic(x, w, stride, padding, dilation, groups):
         feature_group_count=groups,
         preferred_element_type=jnp.int32,
     )
-    return (y.astype(jnp.float32) * (sx * sw)).astype(x.dtype)
+    out = (y.astype(jnp.float32) * (sx * sw)).astype(x.dtype)
+    return _int8_no_grad_guard(out)
 
 
 def _conv(x, w, stride, padding, dilation, groups, allow_int8=False):
@@ -725,6 +760,7 @@ def bcos_conv2d(
     bias: Optional[jax.Array] = None,
     explain: bool = False,
     x_sumsq: Optional[jax.Array] = None,
+    allow_int8: Optional[bool] = None,
 ) -> jax.Array:
     """B-cos 2D convolution, NHWC/HWIO.
 
@@ -737,6 +773,9 @@ def bcos_conv2d(
     ``b`` may be traced (learnable-b / clamping / b_loss variants — the caller
     maps those to an effective b, see modules.BcosifyConv2d).
     ``x_sumsq``: optional `channel_sumsq(x)` hint for the patch norms.
+    ``allow_int8``: whether the BCOS_INT8 serving path may quantize this
+    conv; defaults to ``not explain``; module call sites that know ``train``
+    pass ``not explain and not train`` (the quantizer has zero gradient).
     """
     if max_out < 1:
         raise ValueError(f"max_out must be >= 1, got {max_out}")
@@ -790,7 +829,7 @@ def bcos_conv2d(
 
     out = _conv(
         x, wn.astype(x.dtype), stride, padding, dilation, groups,
-        allow_int8=not explain,
+        allow_int8=(not explain) if allow_int8 is None else allow_int8,
     )
     if bias is not None:
         out = out + jnp.reshape(bias, (1, 1, 1, -1)).astype(out.dtype)

@@ -38,14 +38,21 @@ def main():
         rng.random((bench.BATCH, 224, 224, 6), dtype=np.float32)
     ).astype(jnp.bfloat16)
 
+    # The BCOS_INT8 gate is read at TRACE time, and jit caches per (fn, n):
+    # BOTH window lengths (n=2 and n_big=72) must be compiled per variant
+    # while the env is set for that variant, or the later slope() call would
+    # trace the big window under whatever env happens to be current
+    # (ADVICE r4: this exact bug invalidated the round-4 A/B).
+    n_small, n_big = 2, 72
     fns = {}
     for variant in ("bf16", "int8"):
         os.environ["BCOS_INT8"] = "1" if variant == "int8" else "0"
         fns[variant] = make_fwd_fn(net)  # fresh trace per variant
         t0 = time.perf_counter()
-        float(fns[variant](variables, x, 2))
-        print(f"compiled {variant} ({time.perf_counter() - t0:.1f}s)",
-              flush=True)
+        float(fns[variant](variables, x, n_small))
+        float(fns[variant](variables, x, n_big))
+        print(f"compiled {variant} n={n_small},{n_big} "
+              f"({time.perf_counter() - t0:.1f}s)", flush=True)
 
     # accuracy proxy on one batch (same weights, same input)
     os.environ["BCOS_INT8"] = "0"
@@ -64,7 +71,11 @@ def main():
     results = {v: [] for v in fns}
     for rep in range(REPS):
         for variant in ("bf16", "int8"):
-            per = slope(fns[variant], variables, x, 2, 72)
+            # defensive: every executable slope() touches is already
+            # compiled above, but keep the env consistent with the variant
+            # in case of cache eviction / fresh traces
+            os.environ["BCOS_INT8"] = "1" if variant == "int8" else "0"
+            per = slope(fns[variant], variables, x, n_small, n_big)
             results[variant].append(bench.BATCH / per)
             print(f"rep {rep} {variant}: {per * 1e3:.3f} ms/iter = "
                   f"{bench.BATCH / per:.0f} img/s", flush=True)

@@ -1,13 +1,15 @@
 """BCOS_INT8 dynamic-int8 serving quantization (ops/bcos._conv_int8_dynamic).
 
-Serving-only approximation mode: with BCOS_INT8=1, plain VALUE forwards
-dispatch convs to int8 (per-tensor activation scale, per-output-channel
-weight scale, int32 accumulation, bf16 dequant); explain-mode forwards are
-NEVER quantized (the quantizer's round() has zero gradient, and W(x)
-exactness is the product contract). No reference equivalent — this is a
-beyond-reference serving optimization; per-conv speedups of 2.2-2.9x on the
-deep RN50 shapes were measured on v5e (scripts/perf_probe17.py,
-docs/PERF.md round-4 section).
+Serving-only approximation mode: with BCOS_INT8=1, plain inference VALUE
+forwards dispatch convs to int8 (per-SAMPLE activation scale,
+per-output-channel weight scale, int32 accumulation, bf16 dequant);
+explain-mode AND train-mode forwards are NEVER quantized (the quantizer's
+round() has zero gradient, W(x) exactness is the product contract, and
+training under zero conv-weight gradients would be silently broken — so
+differentiating the quantized conv raises). No reference equivalent — this
+is a beyond-reference serving optimization; measured numbers live in
+docs/PERF.md "int8 serving" (round 5): per-conv and end-to-end A/Bs via
+scripts/perf_probe17.py / perf_probe18.py.
 """
 import numpy as np
 import pytest
@@ -56,6 +58,33 @@ class TestInt8Conv:
         w = _rand((1, 1, 8, 8), 4)
         yq = ops._conv_int8_dynamic(x, w, 1, 0, 1, 1)
         assert np.all(np.asarray(yq, np.float32) == 0.0)
+
+    def test_per_sample_activation_scale(self):
+        # sample 0 is 100x larger than sample 1: with a per-TENSOR scale,
+        # sample 1 would quantize to ~1 bit of range; the per-sample scale
+        # keeps both accurate (ADVICE r4: batch-coupling)
+        x = np.asarray(_rand((2, 8, 8, 16), 20), np.float32)
+        x[0] *= 100.0
+        x = jnp.asarray(x, jnp.bfloat16)
+        w = _rand((3, 3, 16, 8), 21, 0.1)
+        yq = ops._conv_int8_dynamic(x, w, 1, 1, 1, 1)
+        y = ops._conv(x.astype(jnp.float32), w.astype(jnp.float32), 1, 1, 1, 1)
+        assert _rel_err(yq[0], y[0]) < 0.03
+        assert _rel_err(yq[1], y[1]) < 0.03
+
+    def test_batch_composition_independent(self):
+        # a given image's quantized output must not depend on its batchmates
+        # (cross-request determinism for serving)
+        small = np.asarray(_rand((1, 8, 8, 16), 22), np.float32)
+        huge = small.copy() * 100.0
+        w = _rand((3, 3, 16, 8), 23, 0.1)
+        batch = jnp.asarray(np.concatenate([huge, small]), jnp.bfloat16)
+        alone = jnp.asarray(small, jnp.bfloat16)
+        y_batched = ops._conv_int8_dynamic(batch, w, 1, 1, 1, 1)[1]
+        y_alone = ops._conv_int8_dynamic(alone, w, 1, 1, 1, 1)[0]
+        np.testing.assert_array_equal(
+            np.asarray(y_batched, np.float32), np.asarray(y_alone, np.float32)
+        )
 
     def test_per_channel_weight_scale(self):
         # one output channel with 100x larger weights must not destroy the
@@ -145,6 +174,43 @@ class TestDispatchGating:
             np.asarray(y_q_explain, np.float32), np.asarray(y_ref, np.float32)
         )
         assert _rel_err(y_q, y_ref) < 0.05
+
+
+class TestTrainingProtection:
+    def test_train_forward_never_quantized(self, monkeypatch):
+        # ADVICE r4 medium: allow_int8 must exclude train=True forwards —
+        # the quantizer's round() has zero gradient, so a training step under
+        # BCOS_INT8=1 would silently stop learning conv weights
+        from bcosification_tpu.modules.bcos_layers import BcosConv2d, NormedConv2d
+
+        monkeypatch.setenv("BCOS_INT8", "1")
+        x = _rand((1, 6, 6, 4), 30)
+        for mod in (
+            BcosConv2d(features=8, kernel_size=3, padding=1),
+            NormedConv2d(features=8, kernel_size=3, padding=1),
+        ):
+            var = mod.init(jax.random.PRNGKey(0), x)
+            jaxpr_train = str(
+                jax.make_jaxpr(lambda v, xx: mod.apply(v, xx, train=True))(var, x)
+            )
+            assert "i8" not in jaxpr_train
+            jaxpr_serve = str(
+                jax.make_jaxpr(lambda v, xx: mod.apply(v, xx, train=False))(var, x)
+            )
+            assert "i8" in jaxpr_serve  # the serving path still dispatches
+
+    def test_grad_through_int8_raises(self, monkeypatch):
+        # belt-and-braces: even if a call site mis-gates, differentiating the
+        # quantized conv raises instead of returning silent zero gradients
+        x = _rand((1, 6, 6, 8), 31)
+        w = _rand((3, 3, 8, 8), 32, 0.2)
+
+        def loss(ww):
+            y = ops._conv_int8_dynamic(x, ww, 1, 1, 1, 1)
+            return y.astype(jnp.float32).sum()
+
+        with pytest.raises(RuntimeError, match="BCOS_INT8"):
+            jax.grad(loss)(w)
 
 
 class TestModuleLevel:
