@@ -1,6 +1,7 @@
 """bench.py multi-process sampler logic (no TPU): best-child selection,
-timeout => stop spawning + non-zero exit (never an untimed fallback),
-fast-failure => safe in-process fallback."""
+wedged-chip recovery (VERDICT r4 #1 — round 4's BENCH capture was lost to a
+single child timeout aborting the run), adaptive fast-mode sampling
+(VERDICT r4 #8), fast-failure => safe in-process fallback."""
 import json
 import subprocess
 import sys
@@ -32,6 +33,11 @@ def _line(v):
     )
 
 
+def _is_probe(argv):
+    # the recovery probe is `python -c "import jax; ..."` (bench._probe_argv)
+    return isinstance(argv, (list, tuple)) and "-c" in argv
+
+
 def test_best_child_wins(monkeypatch, capsys):
     bench = _load_bench(monkeypatch)
     vals = iter([4100.0, 4600.0, 4050.0])
@@ -51,13 +57,47 @@ def test_best_child_wins(monkeypatch, capsys):
     assert rec["value_median"] == 4100.0
     assert rec["vs_baseline_median"] == pytest.approx(4100.0 / 5000)
     assert [c["value"] for c in rec["children"]] == [4100.0, 4600.0, 4050.0]
+    # 4600 >= threshold: no fast-mode extension
+    assert "fast_mode_extension" not in rec
+    assert "chip_recoveries" not in rec
 
 
-def test_timeout_stops_spawning_and_exits_nonzero(monkeypatch, capsys):
+def test_timeout_recovers_and_resumes(monkeypatch, capsys):
+    """A child timeout triggers the CLAUDE.md recovery protocol (probe loop);
+    once the chip answers, sampling RESUMES and the round still gets a
+    number — round 4 lost its BENCH capture to aborting here."""
     bench = _load_bench(monkeypatch)
+    monkeypatch.setenv("BENCH_RECOVERY_BUDGET", "30")
+    child_vals = iter([4400.0, 4500.0, 4350.0])
+    calls = {"children": 0, "probes": 0}
+
+    def fake_run(argv, **k):
+        if _is_probe(argv):
+            calls["probes"] += 1
+            return _Out(stdout="8.0\n")  # chip answers
+        calls["children"] += 1
+        if calls["children"] == 1:
+            raise subprocess.TimeoutExpired(cmd="bench", timeout=1)
+        return _Out(stdout=_line(next(child_vals)) + "\n")
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    bench._multiproc_main(3)
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["value"] == 4500.0
+    assert rec["procs_sampled"] == 3, "recovered timeout must not eat a slot"
+    assert rec["chip_recoveries"] == 1
+    assert calls["probes"] >= 1
+    assert calls["children"] == 4  # 1 timeout + 3 measurements
+
+
+def test_recovery_failure_exits_nonzero(monkeypatch, capsys):
+    """If the probe never answers within the budget and no child succeeded,
+    exit non-zero (never an untimed in-process fallback on a wedged chip)."""
+    bench = _load_bench(monkeypatch)
+    monkeypatch.setenv("BENCH_RECOVERY_BUDGET", "0")  # fail recovery fast
     calls = {"n": 0}
 
-    def fake_run(*a, **k):
+    def fake_run(argv, **k):
         calls["n"] += 1
         raise subprocess.TimeoutExpired(cmd="bench", timeout=1)
 
@@ -71,12 +111,20 @@ def test_timeout_stops_spawning_and_exits_nonzero(monkeypatch, capsys):
     assert not ran_main["v"], "untimed in-process fallback after a timeout"
 
 
-def test_timeout_after_success_reports_best_so_far(monkeypatch, capsys):
+def test_recovery_attempts_bounded(monkeypatch, capsys):
+    """Repeated wedges stop after BENCH_MAX_RECOVERIES; results so far are
+    still reported."""
     bench = _load_bench(monkeypatch)
-    seq = iter(["ok", "timeout"])
+    monkeypatch.setenv("BENCH_RECOVERY_BUDGET", "30")
+    monkeypatch.setenv("BENCH_MAX_RECOVERIES", "2")
+    calls = {"children": 0, "probes": 0}
 
-    def fake_run(*a, **k):
-        if next(seq) == "ok":
+    def fake_run(argv, **k):
+        if _is_probe(argv):
+            calls["probes"] += 1
+            return _Out(stdout="8.0\n")
+        calls["children"] += 1
+        if calls["children"] == 1:
             return _Out(stdout=_line(4200.0) + "\n")
         raise subprocess.TimeoutExpired(cmd="bench", timeout=1)
 
@@ -85,6 +133,43 @@ def test_timeout_after_success_reports_best_so_far(monkeypatch, capsys):
     rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rec["value"] == 4200.0
     assert rec["procs_sampled"] == 1
+    assert rec["chip_recoveries"] == 2
+    # 1 success + 2 recovered timeouts + 1 final timeout that exhausts
+    assert calls["children"] == 4
+
+
+def test_fast_mode_extension(monkeypatch, capsys):
+    """All base children in the slow bimodal mode (< threshold): sampling
+    extends up to BENCH_PROCS_MAX and stops as soon as the fast mode is
+    captured (VERDICT r4 #8)."""
+    bench = _load_bench(monkeypatch)
+    vals = iter([4100.0, 4050.0, 4120.0, 4600.0, 4590.0])
+
+    def fake_run(*a, **k):
+        return _Out(stdout=_line(next(vals)) + "\n")
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    bench._multiproc_main(3)
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["value"] == 4600.0
+    assert rec["procs_sampled"] == 4, "stop extending once fast mode captured"
+    assert rec["fast_mode_extension"] is True
+
+
+def test_fast_mode_extension_capped(monkeypatch, capsys):
+    """Extension is bounded by BENCH_PROCS_MAX even if the fast mode never
+    shows up."""
+    bench = _load_bench(monkeypatch)
+    monkeypatch.setenv("BENCH_PROCS_MAX", "5")
+
+    def fake_run(*a, **k):
+        return _Out(stdout=_line(4100.0) + "\n")
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    bench._multiproc_main(3)
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["procs_sampled"] == 5
+    assert rec["fast_mode_extension"] is True
 
 
 def test_fast_failures_fall_back_in_process(monkeypatch):
