@@ -14,10 +14,11 @@ the same corpus-level semantics:
 - CIDEr (CIDEr-D, as pycocoevalcap's Cider computes): tf-idf 1..4-gram cosine
   with count clipping and gaussian length penalty (sigma=6), x10.
 
-METEOR is computed natively (meteor.py); SPICE uses pycocoevalcap's Spice
-when the package is importable (as the reference does) and is reported as
-the string "unsupported" otherwise (the Java scene-graph toolchain cannot be
-reimplemented dependency-free).
+METEOR uses pycocoevalcap's Meteor when the package is importable (as the
+reference does), falling back to the native implementation (meteor.py);
+SPICE uses pycocoevalcap's Spice when importable and is reported as the
+string "unsupported" otherwise (the Java scene-graph toolchain cannot be
+reimplemented dependency-free, but METEOR's core algorithm can).
 
 The model bundle must expose ``generate(images) -> list[str]`` (decoded
 captions); B-cosification never trains a captioner, so this is exercised by
@@ -32,7 +33,15 @@ from typing import Dict, List, Sequence
 
 import numpy as np
 
-__all__ = ["evaluate", "bleu_scores", "rouge_l", "cider_d", "ptb_tokenize"]
+__all__ = [
+    "evaluate",
+    "bleu_scores",
+    "rouge_l",
+    "cider_d",
+    "meteor_score",
+    "spice_score",
+    "ptb_tokenize",
+]
 
 _PUNCT = re.compile(r"[\"'`.,!?;:()\[\]{}<>@#$%^&*_\-+=/\\|~]")
 
@@ -159,6 +168,37 @@ def cider_d(
     return float(np.mean(scores)) if scores else 0.0
 
 
+def meteor_score(
+    candidates: List[List[str]], references: List[List[List[str]]]
+) -> float:
+    """METEOR via pycocoevalcap's Meteor when importable AND working
+    (matching the reference's `captioning.py:9` scorer list; the Java
+    METEOR-1.5 jar includes the WordNet-synonymy stage), falling back to the
+    native pure-Python implementation (meteor.py: exact + Porter-stem
+    stages). The two agree closely on corpora dominated by exact/stem
+    matches (import-gated differential:
+    tests/test_caption_metric_properties.py::test_meteor_differential)."""
+    try:
+        from pycocoevalcap.meteor.meteor import Meteor  # noqa: gated optional
+    except ImportError:
+        Meteor = None
+    if Meteor is not None:
+        gts = {i: [" ".join(r) for r in refs] for i, refs in enumerate(references)}
+        res = {i: [" ".join(c)] for i, c in enumerate(candidates)}
+        try:
+            score, _ = Meteor().compute_score(gts, res)
+            return float(score)
+        except Exception as e:  # noqa: BLE001 — jar/JRE failures degrade to
+            # the native scorer instead of crashing evaluate()
+            import warnings
+
+            warnings.warn(f"pycocoevalcap METEOR failed ({type(e).__name__}: "
+                          f"{e}); falling back to the native implementation")
+    from clip_benchmark.metrics.meteor import meteor
+
+    return meteor(candidates, references)
+
+
 def spice_score(
     candidates: List[List[str]], references: List[List[List[str]]]
 ):
@@ -202,12 +242,11 @@ def evaluate(model_bundle, loader, verbose: bool = False) -> Dict[str, float]:
             refs = refs if isinstance(refs, (list, tuple)) else [refs]
             candidates.append(ptb_tokenize(pred))
             references.append([ptb_tokenize(t) for t in refs])
-    from clip_benchmark.metrics.meteor import meteor
-
     bleus = bleu_scores(candidates, references)
     metrics = {
         **{f"Bleu_{i+1}": b for i, b in enumerate(bleus)},
-        "METEOR": meteor(candidates, references),  # pure-Python (see meteor.py)
+        # pycocoevalcap's Java METEOR when importable, native otherwise
+        "METEOR": meteor_score(candidates, references),
         "ROUGE_L": rouge_l(candidates, references),
         "CIDEr": cider_d(candidates, references),
         # real pycocoevalcap Spice when the package is importable; the

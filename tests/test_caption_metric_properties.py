@@ -77,6 +77,100 @@ def test_cider_exact_match_dominates():
     assert cider_d(exact, refs) >= cider_d(rand, refs)
 
 
+def test_meteor_import_gated(monkeypatch):
+    """METEOR routes through pycocoevalcap's Meteor when importable (ref
+    captioning.py:9) and falls back to the NATIVE implementation otherwise
+    (unlike SPICE there is a real dependency-free scorer to fall back to) —
+    verified with a fake scorer module injected into sys.modules."""
+    import sys
+    import types
+
+    from clip_benchmark.metrics.captioning import meteor_score
+    from clip_benchmark.metrics.meteor import meteor
+
+    rng = random.Random(7)
+    cands, refs = _rand_corpus(rng)
+
+    # without the package: the native scorer's value
+    monkeypatch.setitem(sys.modules, "pycocoevalcap", None)
+    monkeypatch.setitem(sys.modules, "pycocoevalcap.meteor", None)
+    monkeypatch.setitem(sys.modules, "pycocoevalcap.meteor.meteor", None)
+    assert meteor_score(cands, refs) == meteor(cands, refs)
+
+    # with a fake pycocoevalcap: the gts/res dicts carry space-joined
+    # strings keyed per image, and the corpus score is returned as float
+    seen = {}
+
+    class FakeMeteor:
+        def compute_score(self, gts, res):
+            seen["gts"], seen["res"] = gts, res
+            return 0.4, [0.4] * len(res)
+
+    mod = types.ModuleType("pycocoevalcap.meteor.meteor")
+    mod.Meteor = FakeMeteor
+    pkg = types.ModuleType("pycocoevalcap")
+    met_pkg = types.ModuleType("pycocoevalcap.meteor")
+    monkeypatch.setitem(sys.modules, "pycocoevalcap", pkg)
+    monkeypatch.setitem(sys.modules, "pycocoevalcap.meteor", met_pkg)
+    monkeypatch.setitem(sys.modules, "pycocoevalcap.meteor.meteor", mod)
+    out = meteor_score(cands, refs)
+    assert out == 0.4 and isinstance(out, float)
+    assert set(seen["gts"]) == set(range(len(refs)))
+    assert seen["res"][0] == [" ".join(cands[0])]
+    assert seen["gts"][1] == [" ".join(r) for r in refs[1]]
+
+    # a broken jar/JRE degrades to the native scorer, not a crash
+    class BrokenMeteor:
+        def compute_score(self, gts, res):
+            raise OSError("no JRE")
+
+    mod.Meteor = BrokenMeteor
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        assert meteor_score(cands, refs) == meteor(cands, refs)
+
+
+def test_meteor_differential():
+    """Import-gated differential vs the real pycocoevalcap METEOR
+    (VERDICT r4 #7): on a fixture corpus dominated by exact and stem
+    matches (where the Java tool's WordNet-synonymy stage contributes
+    nothing) the native score must track the reference scorer closely.
+    Skips when the package (or its JRE) is unavailable — exactly how the
+    reference itself degrades."""
+    pycoco = pytest.importorskip("pycocoevalcap.meteor.meteor")
+    from clip_benchmark.metrics.captioning import ptb_tokenize
+    from clip_benchmark.metrics.meteor import meteor
+
+    fixture = [
+        ("a dog runs across the green field",
+         ["a dog is running across a green field",
+          "the dog runs over the grassy field"]),
+        ("two children playing with a red ball",
+         ["two kids play with a red ball",
+          "children are playing with a ball"]),
+        ("a man rides a bicycle down the street",
+         ["a man is riding a bicycle down a street",
+          "the man rides his bike on the road"]),
+        ("the cat sleeps on the warm windowsill",
+         ["a cat is sleeping on the windowsill",
+          "the cat sleeps near the window"]),
+    ]
+    cands = [ptb_tokenize(c) for c, _ in fixture]
+    refs = [[ptb_tokenize(r) for r in rs] for _, rs in fixture]
+    gts = {i: [" ".join(r) for r in rs] for i, rs in enumerate(refs)}
+    res = {i: [" ".join(c)] for i, c in enumerate(cands)}
+    try:
+        ref_score, _ = pycoco.Meteor().compute_score(gts, res)
+    except Exception as e:  # noqa: BLE001 — package without a working JRE
+        pytest.skip(f"pycocoevalcap METEOR not runnable: {e}")
+    native = meteor(cands, refs)
+    # the native scorer omits the WordNet stage and the jar's tuned weights,
+    # so exact equality is not expected; corpus-level agreement is
+    assert abs(native - float(ref_score)) < 0.08, (native, ref_score)
+
+
 def test_spice_import_gated(monkeypatch):
     """SPICE routes through pycocoevalcap's Spice when importable (ref
     captioning.py:12) and stays the honest "unsupported" string otherwise —
