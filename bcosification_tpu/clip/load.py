@@ -1,5 +1,5 @@
 """clip.load equivalent — build (CLIP model, variables) from an OpenAI
-checkpoint file resolved offline.
+checkpoint file resolved offline, or fetched egress-gated.
 
 Parity target: `/root/reference/CLIP/clip/clip.py:94` (the fork adds
 ``pretrained: bool`` so an architecture can be built WITHOUT loading weights)
@@ -7,6 +7,13 @@ and `build_model` (`CLIP/clip/model.py:400-438`). Checkpoints resolve from
 $CLIP_WEIGHTS_PATH (a file) or $CLIP_WEIGHTS_DIR/<name>.pt — OpenAI ships
 torchscript archives; `torch.jit.load(...).state_dict()` extracts the tensors
 (fp16 -> fp32, `.float()` in `clip_bcosification/model.py:12`).
+
+Where the reference's `clip.load` downloads the weights at call time
+(`CLIP/clip/clip.py:30-40` URL table + `_download` sha256 check), this
+module fetches only behind the same egress gate as the released B-cos
+weights (BCOS_ALLOW_DOWNLOAD=1, models/pretrained._maybe_fetch_npz):
+zero-egress behaviour is unchanged, and on an egress-capable host the
+CLIP-KD recipe needs no manual weight drop.
 """
 from __future__ import annotations
 
@@ -23,6 +30,86 @@ from bcosification_tpu.clip.tokenizer import tokenize  # noqa: F401  (re-export)
 __all__ = ["available_models", "load_state_dict_file", "load", "tokenize"]
 
 _MODELS = ["RN50", "RN101", "RN50x4", "RN50x16", "RN50x64", "ViT-B/32", "ViT-B/16", "ViT-L/14"]
+
+# OpenAI's public release URLs (the URL's second-to-last path component is
+# the checkpoint's sha256 — the reference verifies it in `_download`,
+# CLIP/clip/clip.py:43-70; public data, the table IS the spec)
+_MODEL_URLS = {
+    "RN50": "https://openaipublic.azureedge.net/clip/models/afeb0e10f9e5a86da6080e35cf09123aca3b358a0c3e3b6c78a7b63bc04b6762/RN50.pt",
+    "RN101": "https://openaipublic.azureedge.net/clip/models/8fa8567bab74a42d41c5915025a8e4538c3bdbe8804a470a72f30b0d94fab599/RN101.pt",
+    "RN50x4": "https://openaipublic.azureedge.net/clip/models/7e526bd135e493cef0776de27d5f42653e6b4c8bf9e0f653bb11773263205fdd/RN50x4.pt",
+    "RN50x16": "https://openaipublic.azureedge.net/clip/models/52378b407f34354e150460fe41077663dd5b39c54cd0bfd2b27167a4a06ec9aa/RN50x16.pt",
+    "RN50x64": "https://openaipublic.azureedge.net/clip/models/be1cfb55d75a9666199fb2206c106743da0f6468c9d327f3e0d0a543a9919d9c/RN50x64.pt",
+    "ViT-B/32": "https://openaipublic.azureedge.net/clip/models/40d365715913c9da98579312b702a82c18be219cc2a73407c4526f58eba950af/ViT-B-32.pt",
+    "ViT-B/16": "https://openaipublic.azureedge.net/clip/models/5806e77cd80f8b59890b7e101eabd078d9fb84e6937f9e85e4ecb61988df416f/ViT-B-16.pt",
+    "ViT-L/14": "https://openaipublic.azureedge.net/clip/models/b8cca3fd41ae0c99ba7e8951adf17d267cdb84cd88be6f7c2e0eca1737a03836/ViT-L-14.pt",
+    "ViT-L/14@336px": "https://openaipublic.azureedge.net/clip/models/3035c92b350959924f9f00213499208652fc7ea050643e8b385c2dac08641f02/ViT-L-14-336px.pt",
+}
+
+
+def _sha256_of(path: Path) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def _maybe_fetch_checkpoint(name: str) -> Optional[Path]:
+    """Egress-gated OpenAI teacher-weight fetch (BCOS_ALLOW_DOWNLOAD=1,
+    mirroring models/pretrained._maybe_fetch_npz). Downloads to
+    $CLIP_WEIGHTS_DIR (or ~/.cache/bcosification_tpu/clip), sha256-verified
+    against the URL path component exactly as the reference's `_download`
+    does (CLIP/clip/clip.py:47). Returns None (-> random init + warning)
+    when the gate is off, the name is unknown, or the fetch/verify fails —
+    zero-egress behaviour is byte-identical to before."""
+    if os.getenv("BCOS_ALLOW_DOWNLOAD", "0") != "1":
+        return None
+    url = _MODEL_URLS.get(name)
+    if url is None:
+        return None
+    root = Path(
+        os.getenv("CLIP_WEIGHTS_DIR")
+        or Path.home() / ".cache" / "bcosification_tpu" / "clip"
+    )
+    dest = root / f"{name.replace('/', '-')}.pt"
+    expected = url.split("/")[-2]
+    is_sha = len(expected) == 64 and all(c in "0123456789abcdef" for c in expected)
+    if dest.exists():
+        if not is_sha or _sha256_of(dest) == expected:
+            return dest
+        warnings.warn(f"{dest} exists but its sha256 does not match; re-downloading")
+    import shutil
+    import urllib.request
+
+    root.mkdir(parents=True, exist_ok=True)
+    tmp = dest.with_name(f"{dest.name}.{os.getpid()}.part")
+    try:
+        with urllib.request.urlopen(url, timeout=300.0) as resp, open(
+            tmp, "wb"
+        ) as out:
+            shutil.copyfileobj(resp, out)
+        if is_sha:
+            digest = _sha256_of(tmp)
+            if digest != expected:
+                raise RuntimeError(
+                    f"sha256 mismatch for {url}: got {digest[:12]}…, "
+                    f"URL promises {expected[:12]}…"
+                )
+        else:
+            warnings.warn(
+                f"{url} carries no sha256 path component; download is NOT "
+                "integrity-checked"
+            )
+        tmp.replace(dest)
+    except Exception as e:  # noqa: BLE001 — network errors degrade to random init
+        warnings.warn(f"CLIP checkpoint download of {url} failed: {e}")
+        return None
+    finally:
+        tmp.unlink(missing_ok=True)
+    return dest
 
 # framework model-config names -> OpenAI CLIP tower names (shared by the
 # experiment factories and the KD trainer's teacher selection)
@@ -50,9 +137,12 @@ def load_state_dict_file(name: str = "RN50") -> Optional[Dict[str, np.ndarray]]:
             )
     path = next((p for p in candidates if p.exists()), None)
     if path is None:
+        path = _maybe_fetch_checkpoint(name)
+    if path is None:
         warnings.warn(
             f"No CLIP checkpoint for {name!r} (set CLIP_WEIGHTS_PATH or "
-            "CLIP_WEIGHTS_DIR); using random init."
+            "CLIP_WEIGHTS_DIR, or BCOS_ALLOW_DOWNLOAD=1 on an egress-capable "
+            "host); using random init."
         )
         return None
     if path.suffix == ".npz":
