@@ -214,15 +214,30 @@ def load_clip(
     if model_type == "bcos_captioner":
         return _load_bcos_captioner(model_name, pretrained, experiment_path)
     if model_type == "text2concept_clip":
-        # align a (B-cos) vision model's features into CLIP space
-        bundle, transform, tok = _load_bcos_clip(model_name, pretrained, experiment_path)
+        # align a (B-cos) vision model's features into CLIP space. When
+        # ``pretrained`` points to a saved aligner npz (containing "W"), it
+        # is loaded — ≙ the reference loader consuming a pretrained aligner
+        # file (ref models/text2concept_clip.py:43); otherwise the caller
+        # must fit_aligner on an alignment set.
+        import os as _os
+
+        aligner_path = None
+        if pretrained and pretrained.endswith(".npz") and _os.path.exists(pretrained):
+            with np.load(pretrained) as _data:
+                if "W" in _data.files:
+                    aligner_path = pretrained
+        bundle, transform, tok = _load_bcos_clip(
+            model_name, "" if aligner_path else pretrained, experiment_path
+        )
         from clip_benchmark.models.text2concept import TextToConcept
 
         t2c = TextToConcept(bundle.encode_image)
+        if aligner_path:
+            t2c.load_aligner(aligner_path)
         bundle = ModelBundle(
             t2c.encode_image, t2c.text_model, t2c.text_vars, tok, bundle.cosine_power
         )
-        bundle.text2concept = t2c  # caller must fit_aligner on an alignment set
+        bundle.text2concept = t2c
         return bundle, transform, tok
     if model_type == "open_clip":
         from clip_benchmark.models.open_clip import load_open_clip
