@@ -31,6 +31,8 @@ __all__ = [
     "clip_text_to_variables",
     "clip_visual_teacher_to_variables",
     "clip_visual_student_to_variables",
+    "clip_trained_student_to_variables",
+    "infer_clip_student_config",
     "build_clip_text",
     "build_clip_teacher_visual",
     "build_bcosified_clip_visual",
@@ -148,6 +150,98 @@ def clip_visual_student_to_variables(
     for p in projs:
         _lin(flat, sd, f"visual.attnpool.{p}", scope + ("attnpool", p), use_bias=use_bias)
     return fill_variables(abstract, flat)
+
+
+def infer_clip_student_config(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """Infer (vision cfg, model_config) from a TRAINED B-cos CLIP visual
+    checkpoint (post-conversion `BcosifyNetwork(ModifiedResNet)` state,
+    torch keys ``model.conv1.weight`` / ``model.layer{s}.{j}...`` /
+    ``model.attnpool.{q,k,v,c}_proj...`` — the layout the reference's
+    clip_bcosification experiments save). Returns a dict with the vision
+    config keys build_bcosified_clip_visual consumes plus the detected
+    ``attn_unpool`` / ``use_bias`` flags."""
+    import re as _re
+
+    width2 = _np(sd["model.conv1.linear.weight"]).shape[0]  # stem conv1 -> width//2
+    width = width2 * 2
+    layers = [0, 0, 0, 0]
+    for k in sd:
+        m = _re.match(r"model\.layer(\d)\.(\d+)\.conv1\.linear\.weight$", k) or _re.match(
+            r"model\.layer(\d)\.(\d+)\.conv1\.weight$", k
+        )
+        if m:
+            s, j = int(m.group(1)), int(m.group(2))
+            layers[s - 1] = max(layers[s - 1], j + 1)
+    c_proj_key = next(
+        k for k in ("model.attnpool.c_proj.linear.weight", "model.attnpool.c_proj.weight")
+        if k in sd
+    )
+    embed_dim = _np(sd[c_proj_key]).shape[0]
+    attn_unpool = not any(
+        k.startswith("model.attnpool.q_proj.") for k in sd
+    )
+    use_bias = any(
+        k.endswith(".bias") and ("proj" in k or ".conv" in k) for k in sd
+    )
+    return {
+        "vision_layers": tuple(layers),
+        "vision_width": width,
+        "embed_dim": embed_dim,
+        "image_resolution": 224,
+        "attn_unpool": attn_unpool,
+        "use_bias": use_bias,
+    }
+
+
+def clip_trained_student_to_variables(variables, sd: Mapping[str, Any]):
+    """Fill a bcosified-CLIP-visual flax tree from a TRAINED checkpoint of
+    the reference's `BcosifyNetwork(ModifiedResNet)` (post-conversion state:
+    convs are channel-doubled B-cos layers carrying ``.linear.weight``,
+    norms are uncentered BN with running stats, attnpool has q/k/v plain and
+    c_proj bcosified, biases + positional embedding nulled —
+    `/root/reference/bcos/experiments/ImageNet/clip_bcosification/model.py:
+    8-25`). The scope translation mirrors the independently-written oracle
+    mapping in tests/test_e2e_clip_b2_oracle.py (`_fill_from_ref`), which
+    locks this layout value-for-value against the reference's own
+    conversion pipeline."""
+
+    def _tscope(scope):
+        out = []
+        for s in scope:
+            if s.startswith("layer") and "_" in s:
+                stage, j = s.split("_")
+                out += [stage, j]
+            elif s == "downsample_conv":
+                out += ["downsample", "1"]  # CLIP ds: 0=avgpool, 1=conv, 2=bn
+            elif s == "downsample_norm":
+                out += ["downsample", "2"]
+            else:
+                out.append(s)
+        return out
+
+    def fill(path, leaf):
+        keys = [p.key if hasattr(p, "key") else str(p) for p in path]
+        coll, scope, name = keys[0], keys[2:-1], keys[-1]
+        tp = "model." + ".".join(_tscope(scope))
+        if coll == "batch_stats":
+            if name == "num_batches_tracked":
+                return jnp.zeros(leaf.shape, leaf.dtype)
+            return jnp.asarray(_np(sd[f"{tp}.{name}"]))
+        if name == "weight" and scope and "proj" in scope[-1]:
+            # attnpool linears: torch [out,in] -> (in,out); c_proj is the
+            # bcosified one (inner .linear), q/k/v stay plain
+            suffix = ".linear.weight" if scope[-1] == "c_proj" else ".weight"
+            return jnp.asarray(P.torch_linear_weight(sd[tp + suffix]))
+        if name == "weight" and leaf.ndim == 4:
+            return jnp.asarray(P.torch_conv_weight(sd[f"{tp}.linear.weight"]))
+        # norm affines live at <tp>.<name>; a bcosified layer's bias (when
+        # use_bias configs keep them) lives inside its inner .linear
+        for cand in (f"{tp}.{name}", f"{tp}.linear.{name}"):
+            if cand in sd:
+                return jnp.asarray(_np(sd[cand]))
+        raise KeyError(f"{tp}.{name} not in checkpoint")
+
+    return jax.tree_util.tree_map_with_path(fill, variables)
 
 
 # ---------------------------------------------------------------------------
