@@ -115,6 +115,54 @@ def test_localisation_striding_mode(tmp_path):
     np.testing.assert_allclose(metric, 1.0, atol=1e-5)
 
 
+@pytest.mark.slow
+def test_localisation_real_shape_grid(tmp_path):
+    """Real eval shapes (224px images, 3x3 grid => a 672x672 multi-image),
+    full-image AND strided attribution — catches shape/striding regressions
+    the 8px fixtures can't (VERDICT r4 #9; ref localisation.py:282-305
+    strided attribute+fold). The perfectly-localisable model must still
+    score ~1.0 at real shapes; smoothing (the real config's smooth=15) only
+    blurs cell borders."""
+    model = CellSumModel(num_classes=10)
+    variables = {"params": {}}
+    ds = OneHotChannelDataset(n=40, size=224, num_classes=10)
+    analyser = LocalisationAnalyser(
+        model,
+        variables,
+        ds,
+        save_folder=tmp_path / "full",
+        explainer_name="IxG",
+        sample_size=1,
+        n_imgs=9,
+        smooth=15,
+        conf_thresh=None,
+        batch_size=2,
+    )
+    results = analyser.run()
+    metric = results["localisation_metric"]
+    assert len(metric) == 9
+    assert np.min(metric) > 0.95, metric
+
+    strided = LocalisationAnalyser(
+        model,
+        variables,
+        ds,
+        save_folder=tmp_path / "strided",
+        explainer_name="IxG",
+        sample_size=1,
+        n_imgs=9,
+        smooth=0,
+        conf_thresh=None,
+        striding="112",
+        batch_size=2,
+    )
+    results_s = strided.run()
+    metric_s = results_s["localisation_metric"]
+    assert len(metric_s) == 9
+    # stride 112 divides the 224 crop: uniform coverage, perfect score holds
+    np.testing.assert_allclose(metric_s, 1.0, atol=1e-5)
+
+
 def test_localisation_config_grid_names():
     from bcosification_tpu.interpretability.analyses.localisation_configs import (
         configs,
