@@ -190,17 +190,24 @@ def _int8_serving_enabled() -> bool:
     """Opt-in dynamic-int8 serving quantization (BCOS_INT8=1, default off).
 
     v5e's MXU runs int8 x int8 -> int32 at 2x the bf16 MAC rate and int8
-    operands halve the HBM bytes per conv; measured per-conv speedups on
-    this toolchain are 2.2-2.9x for the deeper RN50 shapes
-    (scripts/perf_probe17.py, docs/PERF.md round-5 int8 section).
-    SERVING-ONLY: the round() in the quantizer has zero gradient, so
-    training or autodiff-based explanations under this flag would be
-    silently wrong — module call sites only allow it on plain inference
-    value forwards (`allow_int8=not explain and not train`), and the
-    quantized conv's output carries ``_int8_no_grad_guard``, whose VJP
-    raises if anything differentiates through it anyway. Accuracy is
-    approximate (per-SAMPLE activation scale, per-output-channel weight
-    scale; tolerance locked in tests/test_int8_serving.py).
+    operands halve the HBM bytes per conv. MEASURED round 5 (docs/PERF.md
+    "int8 serving"): per-conv speedups of 1.66-2.02x on the deep RN50
+    shapes but 0.82x on the spatially-large layer1
+    (scripts/perf_probe17.py), and the END-TO-END RN50 serving forward is
+    0.967x — a 3.3% LOSS (scripts/perf_probe18.py, interleaved 3 pairs):
+    the per-conv quantize/dequantize elementwise traffic outweighs the MXU
+    gain on this bandwidth-bound net. The path therefore stays OFF by
+    default and exists as a measured negative result + mechanism for
+    compute-bound deployments. SERVING-ONLY: the round() in the quantizer
+    has zero gradient, so training or autodiff-based explanations under
+    this flag would be silently wrong — module call sites only allow it on
+    plain inference value forwards (`allow_int8=not explain and not
+    train`), and the quantized conv's output carries
+    ``_int8_no_grad_guard``, whose VJP raises if anything differentiates
+    through it anyway. Accuracy is approximate (per-SAMPLE activation
+    scale, per-output-channel weight scale; ~7% pre-logit feature rel-L2
+    over the 54-conv RN50 at random init; tolerances locked in
+    tests/test_int8_serving.py).
     """
     import os
 

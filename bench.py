@@ -235,7 +235,9 @@ def _multiproc_main(n_procs: int):
     recovery_failed = False
     recoveries = 0
     max_recoveries = int(os.getenv("BENCH_MAX_RECOVERIES", "2"))
-    recovery_budget = float(os.getenv("BENCH_RECOVERY_BUDGET", "900"))
+    # observed r5: a real wedge took 5 probe attempts (~20 min incl. the 4
+    # timed-out probes) to clear — budget must cover that
+    recovery_budget = float(os.getenv("BENCH_RECOVERY_BUDGET", "1500"))
     procs_max = max(n_procs, int(os.getenv("BENCH_PROCS_MAX", "5")))
     env = dict(os.environ, BENCH_CHILD="1")
 

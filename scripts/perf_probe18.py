@@ -54,19 +54,33 @@ def main():
         print(f"compiled {variant} n={n_small},{n_big} "
               f"({time.perf_counter() - t0:.1f}s)", flush=True)
 
-    # accuracy proxy on one batch (same weights, same input)
-    os.environ["BCOS_INT8"] = "0"
-    logits_ref = jax.jit(
-        lambda v, xx: net.apply(v, xx, train=False))(variables, x)
-    os.environ["BCOS_INT8"] = "1"
-    logits_q = jax.jit(
-        lambda v, xx: net.apply(v, xx, train=False))(variables, x)
-    ref = np.asarray(logits_ref, np.float32)
-    q = np.asarray(logits_q, np.float32)
+    # Accuracy proxy on one small batch, compared at the PRE-LOGIT features
+    # (model.fc output). At the logits the comparison is VACUOUS for this
+    # random-init flagship: the LogitLayer adds log(1/999) ~= -6.9, whose
+    # bf16 ULP (0.03) swallows the tiny random-init fc outputs — int8 and
+    # bf16 logits come out bit-identical even though 169/176 intermediates
+    # differ (measured round 5, docs/PERF.md int8 section). The feature
+    # comparison is the honest proxy; trained-weight serving should use the
+    # release-weights harness instead.
+    xp = x[:8]
+
+    def feats(env):
+        os.environ["BCOS_INT8"] = env
+        _, mods = jax.jit(
+            lambda v, xx: net.apply(
+                v, xx, train=False, capture_intermediates=True
+            )
+        )(variables, xp)
+        return np.asarray(
+            mods["intermediates"]["model"]["fc"]["__call__"][0], np.float32
+        )
+
+    ref = feats("0")
+    q = feats("1")
     agree = float(np.mean(ref.argmax(-1) == q.argmax(-1)))
     rel = float(np.linalg.norm(q - ref) / max(np.linalg.norm(ref), 1e-12))
-    print(f"top-1 agreement: {agree:.4f}  logit rel-L2 err: {rel:.4f}",
-          flush=True)
+    print(f"pre-logit feature argmax agreement: {agree:.4f}  "
+          f"feature rel-L2 err: {rel:.4f}", flush=True)
 
     results = {v: [] for v in fns}
     for rep in range(REPS):
