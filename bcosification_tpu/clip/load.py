@@ -47,69 +47,46 @@ _MODEL_URLS = {
 }
 
 
-def _sha256_of(path: Path) -> str:
-    import hashlib
-
-    h = hashlib.sha256()
-    with open(path, "rb") as f:
-        for chunk in iter(lambda: f.read(1 << 20), b""):
-            h.update(chunk)
-    return h.hexdigest()
+def _cache_root() -> Path:
+    return Path(
+        os.getenv("CLIP_WEIGHTS_DIR")
+        or Path.home() / ".cache" / "bcosification_tpu" / "clip"
+    )
 
 
 def _maybe_fetch_checkpoint(name: str) -> Optional[Path]:
     """Egress-gated OpenAI teacher-weight fetch (BCOS_ALLOW_DOWNLOAD=1,
-    mirroring models/pretrained._maybe_fetch_npz). Downloads to
+    mirroring models/pretrained._maybe_fetch_npz; download/verify logic
+    shared with models/pretrained.fetch_checkpoint). Downloads to
     $CLIP_WEIGHTS_DIR (or ~/.cache/bcosification_tpu/clip), sha256-verified
     against the URL path component exactly as the reference's `_download`
     does (CLIP/clip/clip.py:47). Returns None (-> random init + warning)
     when the gate is off, the name is unknown, or the fetch/verify fails —
-    zero-egress behaviour is byte-identical to before."""
+    zero-egress behaviour is byte-identical to before. Cache HITS are not
+    gated: load_state_dict_file finds previously-downloaded files among its
+    local candidates before this function is ever called."""
     if os.getenv("BCOS_ALLOW_DOWNLOAD", "0") != "1":
         return None
     url = _MODEL_URLS.get(name)
     if url is None:
         return None
-    root = Path(
-        os.getenv("CLIP_WEIGHTS_DIR")
-        or Path.home() / ".cache" / "bcosification_tpu" / "clip"
-    )
-    dest = root / f"{name.replace('/', '-')}.pt"
+    from bcosification_tpu.models.pretrained import fetch_checkpoint
+
+    dest = _cache_root() / f"{name.replace('/', '-')}.pt"
     expected = url.split("/")[-2]
     is_sha = len(expected) == 64 and all(c in "0123456789abcdef" for c in expected)
-    if dest.exists():
-        if not is_sha or _sha256_of(dest) == expected:
-            return dest
-        warnings.warn(f"{dest} exists but its sha256 does not match; re-downloading")
-    import shutil
-    import urllib.request
-
-    root.mkdir(parents=True, exist_ok=True)
-    tmp = dest.with_name(f"{dest.name}.{os.getpid()}.part")
+    if not is_sha:
+        warnings.warn(
+            f"{url} carries no sha256 path component; download is NOT "
+            "integrity-checked"
+        )
     try:
-        with urllib.request.urlopen(url, timeout=300.0) as resp, open(
-            tmp, "wb"
-        ) as out:
-            shutil.copyfileobj(resp, out)
-        if is_sha:
-            digest = _sha256_of(tmp)
-            if digest != expected:
-                raise RuntimeError(
-                    f"sha256 mismatch for {url}: got {digest[:12]}…, "
-                    f"URL promises {expected[:12]}…"
-                )
-        else:
-            warnings.warn(
-                f"{url} carries no sha256 path component; download is NOT "
-                "integrity-checked"
-            )
-        tmp.replace(dest)
+        return fetch_checkpoint(
+            url, dest, timeout=300.0, expected_sha=expected if is_sha else None
+        )
     except Exception as e:  # noqa: BLE001 — network errors degrade to random init
         warnings.warn(f"CLIP checkpoint download of {url} failed: {e}")
         return None
-    finally:
-        tmp.unlink(missing_ok=True)
-    return dest
 
 # framework model-config names -> OpenAI CLIP tower names (shared by the
 # experiment factories and the KD trainer's teacher selection)
@@ -135,6 +112,14 @@ def load_state_dict_file(name: str = "RN50") -> Optional[Dict[str, np.ndarray]]:
             candidates.append(
                 Path(os.environ["CLIP_WEIGHTS_DIR"]) / f"{name.replace('/', '-')}{ext}"
             )
+    # the default download cache is an ordinary local candidate — reading a
+    # previously-fetched file is not egress, so it must work WITHOUT
+    # BCOS_ALLOW_DOWNLOAD (r5 review #3: the cache hit used to sit behind
+    # the gate, silently degrading a cached teacher to random init)
+    candidates.append(
+        Path.home() / ".cache" / "bcosification_tpu" / "clip"
+        / f"{name.replace('/', '-')}.pt"
+    )
     path = next((p for p in candidates if p.exists()), None)
     if path is None:
         path = _maybe_fetch_checkpoint(name)

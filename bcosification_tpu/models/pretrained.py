@@ -99,19 +99,36 @@ def list_available() -> List[str]:
     return sorted(_REGISTRY)
 
 
-def fetch_checkpoint(url: str, dest: Path, timeout: float = 120.0) -> Path:
-    """Download `url` to `dest`, verifying the torch.hub-style sha256 prefix
-    embedded in the release filename (ref pretrained.py URLs all carry a
-    `-<sha10>.pth` suffix; torch.hub's load_state_dict_from_url checks it,
-    hub.py `check_hash`). Supports file:// URLs (used by the unit tests and
-    by air-gapped mirrors).
+def _sha256_file(path: Path) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def fetch_checkpoint(
+    url: str,
+    dest: Path,
+    timeout: float = 120.0,
+    expected_sha: Optional[str] = None,
+) -> Path:
+    """Download `url` to `dest`, integrity-checked. With ``expected_sha``
+    the full sha256 must match it exactly (the OpenAI-CLIP style, where the
+    URL's second-to-last path component IS the digest — ref
+    CLIP/clip/clip.py:47); without it, the torch.hub-style sha256 prefix
+    embedded in the release filename is checked when present (ref
+    pretrained.py URLs all carry a `-<sha10>.pth` suffix; torch.hub's
+    load_state_dict_from_url checks it, hub.py `check_hash`). Supports
+    file:// URLs (used by the unit tests and by air-gapped mirrors).
 
     The download lands in a per-process temp name (two concurrent fetches
     of the same checkpoint cannot interleave into one file) that is always
     removed on failure; ``timeout`` bounds a stalled connection so
     ``load_model`` keeps its warn-and-degrade contract instead of hanging.
     """
-    import hashlib
     import re
     import shutil
     import urllib.request
@@ -123,19 +140,27 @@ def fetch_checkpoint(url: str, dest: Path, timeout: float = 120.0) -> Path:
             tmp, "wb"
         ) as out:
             shutil.copyfileobj(resp, out)
-        m = re.search(r"-([0-9a-f]{8,64})\.(pth|npz)$", dest.name)
-        if m:
-            digest = hashlib.sha256(tmp.read_bytes()).hexdigest()
-            if not digest.startswith(m.group(1)):
+        if expected_sha is not None:
+            digest = _sha256_file(tmp)
+            if digest != expected_sha:
                 raise RuntimeError(
                     f"sha256 mismatch for {url}: got {digest[:12]}…, "
-                    f"filename promises {m.group(1)}"
+                    f"expected {expected_sha[:12]}…"
                 )
         else:
-            warnings.warn(
-                f"{dest.name} carries no -<sha>.pth hash suffix; "
-                f"download from {url} is NOT integrity-checked"
-            )
+            m = re.search(r"-([0-9a-f]{8,64})\.(pth|npz)$", dest.name)
+            if m:
+                digest = _sha256_file(tmp)
+                if not digest.startswith(m.group(1)):
+                    raise RuntimeError(
+                        f"sha256 mismatch for {url}: got {digest[:12]}…, "
+                        f"filename promises {m.group(1)}"
+                    )
+            else:
+                warnings.warn(
+                    f"{dest.name} carries no expected hash; "
+                    f"download from {url} is NOT integrity-checked"
+                )
         tmp.replace(dest)
     finally:
         tmp.unlink(missing_ok=True)

@@ -292,7 +292,20 @@ def _conv(x, w, stride, padding, dilation, groups, allow_int8=False):
     # VJP in this JAX version, so we rely on the MXU's native accumulation).
     import os
 
-    if allow_int8 and _int8_serving_enabled() and x.dtype == jnp.bfloat16:
+    if (
+        allow_int8
+        and _int8_serving_enabled()
+        and x.dtype == jnp.bfloat16
+        # BCOS_INT8_MIN_CH: skip quantizing convs whose operand channel
+        # count is below the threshold. probe17 measured int8 LOSING (0.82x)
+        # on the spatially-large/small-channel layer1 shapes while winning
+        # 1.66-2.02x at >=128 channels — selective quantization is the
+        # configuration probe19 A/Bs end-to-end (docs/PERF.md "int8
+        # serving"). Default 0 = quantize every eligible conv (the probe18
+        # configuration).
+        and min(x.shape[-1], w.shape[-1])
+        >= int(os.getenv("BCOS_INT8_MIN_CH", "0"))
+    ):
         return _conv_int8_dynamic(x, w, stride, padding, dilation, groups)
 
     if (

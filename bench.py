@@ -301,14 +301,24 @@ def _multiproc_main(n_procs: int):
         and results
         and all(r["value"] < FAST_MODE_THRESHOLD for r in results)
     ):
-        while len(results) < procs_max:
-            extended = True
+        # bound by completed extension spawns, not len(results): a child that
+        # exits non-zero / prints no JSON returns 'ok' without appending, and
+        # counting results alone would spawn forever against a broken child
+        ext_done = 0
+        ext_slots = procs_max - len(results)
+        while ext_done < ext_slots:
             before = len(results)
-            if spawn(i) != "ok":
+            status = spawn(i)
+            if status == "abort":
                 break
             i += 1
-            if len(results) > before and results[-1]["value"] >= FAST_MODE_THRESHOLD:
-                break  # captured the fast mode, stop extending
+            if status != "ok":
+                continue  # timed out but recovered: slot not consumed
+            ext_done += 1
+            if len(results) > before:
+                extended = True
+                if results[-1]["value"] >= FAST_MODE_THRESHOLD:
+                    break  # captured the fast mode, stop extending
 
     if not results:
         if recovery_failed:

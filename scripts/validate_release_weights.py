@@ -500,14 +500,30 @@ def main(argv=None):
         ]
 
     # --- CLIP zeroshot leg (BASELINE third contract), skip-if-absent -------
+    # "skip-if-absent" applies to AUTO-DISCOVERY only: an explicit
+    # --clip_names with no usable --wds_root is an error, never a silent
+    # pass (r5 review #2 — the old code printed "N CLIP checkpoints pass
+    # zeroshot" for checkpoints that were never scored).
     clip_failures = []
     clip_names = args.clip_names.split(",") if args.clip_names else []
+    if clip_names and not (args.wds_root and Path(args.wds_root).exists()):
+        print(
+            f"--clip_names given but wds_root "
+            f"{args.wds_root or '(unset)'} is missing; cannot run the "
+            f"zeroshot contract for {clip_names}",
+            file=sys.stderr,
+        )
+        return 1
     if args.wds_root and Path(args.wds_root).exists():
         if not clip_names:
+            # registry stems are the CNN/ViT release checkpoints the parity
+            # loop already covers — don't torch.load hundreds of MB apiece a
+            # second time just to learn they aren't CLIP (r5 review #5)
+            registry_stems = set(pretrained_lib.list_available())
             clip_names = [
                 p.stem
                 for p in sorted(weights_dir.glob("*.pth"))
-                if _looks_like_clip_student(p)
+                if p.stem not in registry_stems and _looks_like_clip_student(p)
             ]
         for cname in clip_names:
             try:

@@ -172,6 +172,32 @@ def test_fast_mode_extension_capped(monkeypatch, capsys):
     assert rec["fast_mode_extension"] is True
 
 
+def test_fast_mode_extension_bounded_on_failing_children(monkeypatch, capsys):
+    """Extension children that exit non-zero (no JSON line) must still count
+    toward the extension budget: the loop used to bound on len(results),
+    which a failing child never grows — unbounded spawning (r5 review #1).
+    The record must also NOT claim fast_mode_extension when no extension
+    child actually contributed a sample (r5 review #6)."""
+    bench = _load_bench(monkeypatch)
+    monkeypatch.setenv("BENCH_PROCS_MAX", "6")
+    calls = {"children": 0}
+
+    def fake_run(argv, **k):
+        calls["children"] += 1
+        if calls["children"] <= 3:
+            return _Out(stdout=_line(4100.0) + "\n")  # slow-mode base sample
+        return _Out(rc=1)  # every extension child fails
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    bench._multiproc_main(3)
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert calls["children"] == 6, "extension spawns must be bounded"
+    assert rec["procs_sampled"] == 3
+    assert "fast_mode_extension" not in rec, (
+        "no extension sample landed — the flag would misrepresent the record"
+    )
+
+
 def test_fast_failures_fall_back_in_process(monkeypatch):
     bench = _load_bench(monkeypatch)
     monkeypatch.setattr(subprocess, "run", lambda *a, **k: _Out(rc=3))

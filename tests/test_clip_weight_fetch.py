@@ -22,9 +22,12 @@ clip_load = importlib.import_module("bcosification_tpu.clip.load")
 
 
 @pytest.fixture()
-def _clean_env(monkeypatch):
+def _clean_env(monkeypatch, tmp_path):
     for var in ("CLIP_WEIGHTS_PATH", "CLIP_WEIGHTS_DIR", "BCOS_ALLOW_DOWNLOAD"):
         monkeypatch.delenv(var, raising=False)
+    # the default download cache lives under $HOME — isolate it so a real
+    # cached checkpoint on the dev machine can't leak into these tests
+    monkeypatch.setenv("HOME", str(tmp_path / "home"))
 
 
 def _make_release(tmp_path, name="RN50"):
@@ -90,6 +93,29 @@ def test_sha_mismatch_degrades_to_random_init(_clean_env, monkeypatch, tmp_path)
     with pytest.warns(UserWarning, match="sha256 mismatch|download.*failed"):
         assert clip_load.load_state_dict_file("RN50") is None
     assert not (tmp_path / "cache2" / "RN50.pt").exists()
+
+
+def test_cached_download_readable_without_gate(_clean_env, monkeypatch, tmp_path):
+    """A checkpoint fetched once into the default cache must resolve on
+    later runs WITHOUT BCOS_ALLOW_DOWNLOAD: reading a local file is not
+    egress (r5 review #3 — the cache hit used to sit behind the gate and
+    silently degrade to a random-init teacher)."""
+    url, _ = _make_release(tmp_path)
+    monkeypatch.setitem(clip_load._MODEL_URLS, "RN50", url)
+    monkeypatch.setenv("BCOS_ALLOW_DOWNLOAD", "1")
+    sd = clip_load.load_state_dict_file("RN50")  # lands in $HOME cache
+    assert sd is not None
+    cached = clip_load._cache_root() / "RN50.pt"
+    assert cached.exists()
+
+    monkeypatch.delenv("BCOS_ALLOW_DOWNLOAD")
+
+    def no_net(*a, **k):
+        raise AssertionError("cache hit must not touch the network")
+
+    monkeypatch.setattr(urllib.request, "urlopen", no_net)
+    sd2 = clip_load.load_state_dict_file("RN50")
+    assert sd2 is not None and "w" in sd2
 
 
 def test_unknown_name_not_fetched(_clean_env, monkeypatch):

@@ -141,6 +141,37 @@ class TestDispatchGating:
             np.asarray(y_q, np.float32), np.asarray(y_ref, np.float32)
         )
 
+    def test_min_ch_threshold_gates_small_convs(self, monkeypatch):
+        """BCOS_INT8_MIN_CH: convs whose operand channel count is below the
+        threshold stay exact bf16 (probe17: int8 LOSES on the small-channel
+        layer1 shapes; probe19 A/Bs the selective configuration)."""
+        monkeypatch.setenv("BCOS_INT8", "1")
+        monkeypatch.setenv("BCOS_INT8_MIN_CH", "16")
+        xs = _rand((1, 6, 6, 8), 30)
+        ws = _rand((3, 3, 8, 8), 31, 0.2)  # min ch 8 < 16: stays bf16
+        jaxpr_small = str(
+            jax.make_jaxpr(
+                lambda xx, ww: ops.bcos_conv2d(xx, ww, b=2, padding=1)
+            )(xs, ws)
+        )
+        assert "i8" not in jaxpr_small
+        y_small = ops.bcos_conv2d(xs, ws, b=2, padding=1)
+        monkeypatch.setenv("BCOS_INT8", "0")
+        y_exact = ops.bcos_conv2d(xs, ws, b=2, padding=1)
+        np.testing.assert_array_equal(
+            np.asarray(y_small, np.float32), np.asarray(y_exact, np.float32)
+        )
+
+        monkeypatch.setenv("BCOS_INT8", "1")
+        xl = _rand((1, 6, 6, 16), 32)
+        wl = _rand((3, 3, 16, 16), 33, 0.2)  # min ch 16 >= 16: quantizes
+        jaxpr_large = str(
+            jax.make_jaxpr(
+                lambda xx, ww: ops.bcos_conv2d(xx, ww, b=2, padding=1)
+            )(xl, wl)
+        )
+        assert "i8" in jaxpr_large
+
     def test_fp32_never_quantized(self, monkeypatch):
         monkeypatch.setenv("BCOS_INT8", "1")
         x = jnp.asarray(

@@ -102,3 +102,21 @@ def test_missing_weights_raise(tmp_path):
 
     with pytest.raises(FileNotFoundError):
         validate_logit_parity("resnet18", tmp_path)
+
+
+def test_explicit_clip_names_without_wds_is_an_error(tmp_path, capsys):
+    """--clip_names with no usable --wds_root must exit non-zero, never
+    print a zeroshot PASS for checkpoints that were never scored (r5
+    review #2). Skip-if-absent applies to auto-discovery only."""
+    from scripts.validate_release_weights import main
+
+    rc = main(
+        [
+            "--weights_dir", str(tmp_path),
+            "--clip_names", "my_clip",
+            "--wds_root", str(tmp_path / "nope"),
+        ]
+    )
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "cannot run the zeroshot contract" in err
