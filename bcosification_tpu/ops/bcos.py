@@ -193,12 +193,15 @@ def _int8_serving_enabled() -> bool:
     operands halve the HBM bytes per conv. MEASURED round 5 (docs/PERF.md
     "int8 serving"): per-conv speedups of 1.66-2.02x on the deep RN50
     shapes but 0.82x on the spatially-large layer1
-    (scripts/perf_probe17.py), and the END-TO-END RN50 serving forward is
-    0.967x — a 3.3% LOSS (scripts/perf_probe18.py, interleaved 3 pairs):
-    the per-conv quantize/dequantize elementwise traffic outweighs the MXU
-    gain on this bandwidth-bound net. The path therefore stays OFF by
-    default and exists as a measured negative result + mechanism for
-    compute-bound deployments. SERVING-ONLY: the round() in the quantizer
+    (scripts/perf_probe17.py). END-TO-END the ALL-conv RN50 serving
+    forward is 0.962-0.971x — a ~3% LOSS (scripts/perf_probe18.py,
+    interleaved): the per-conv quantize/dequantize elementwise traffic
+    outweighs the MXU gain on this bandwidth-bound net. SELECTIVE
+    quantization (BCOS_INT8_MIN_CH=128, the default — stem/layer1 stay
+    exact bf16) measures 1.017x (scripts/perf_probe19.py, interleaved,
+    every rep above every bf16 rep), so opting in via BCOS_INT8=1 yields
+    the best-measured configuration; the flag itself stays OFF by default
+    (exact bf16 is the published serving semantics). SERVING-ONLY: the round() in the quantizer
     has zero gradient, so training or autodiff-based explanations under
     this flag would be silently wrong — module call sites only allow it on
     plain inference value forwards (`allow_int8=not explain and not
@@ -299,12 +302,12 @@ def _conv(x, w, stride, padding, dilation, groups, allow_int8=False):
         # BCOS_INT8_MIN_CH: skip quantizing convs whose operand channel
         # count is below the threshold. probe17 measured int8 LOSING (0.82x)
         # on the spatially-large/small-channel layer1 shapes while winning
-        # 1.66-2.02x at >=128 channels — selective quantization is the
-        # configuration probe19 A/Bs end-to-end (docs/PERF.md "int8
-        # serving"). Default 0 = quantize every eligible conv (the probe18
-        # configuration).
+        # 1.66-2.02x at >=128 channels; end-to-end the all-conv config is
+        # 0.962-0.971x (probe18) while min_ch=128 is 1.017x (probe19,
+        # docs/PERF.md "int8 serving") — so the best-measured threshold is
+        # the default. 0 = quantize every eligible conv (probe18's config).
         and min(x.shape[-1], w.shape[-1])
-        >= int(os.getenv("BCOS_INT8_MIN_CH", "0"))
+        >= int(os.getenv("BCOS_INT8_MIN_CH", "128"))
     ):
         return _conv_int8_dynamic(x, w, stride, padding, dilation, groups)
 

@@ -45,6 +45,9 @@ def main():
     # (ADVICE r4: this exact bug invalidated the round-4 A/B).
     n_small, n_big = 2, 72
     fns = {}
+    # this probe is the ALL-conv int8 A/B; selective quantization (the
+    # shipped default, BCOS_INT8_MIN_CH=128) is probe19's subject
+    os.environ["BCOS_INT8_MIN_CH"] = "0"
     for variant in ("bf16", "int8"):
         os.environ["BCOS_INT8"] = "1" if variant == "int8" else "0"
         fns[variant] = make_fwd_fn(net)  # fresh trace per variant
@@ -78,9 +81,13 @@ def main():
     ref = feats("0")
     q = feats("1")
     agree = float(np.mean(ref.argmax(-1) == q.argmax(-1)))
-    rel = float(np.linalg.norm(q - ref) / max(np.linalg.norm(ref), 1e-12))
+    # NOTE: divide by the true norm, floored far below any real feature
+    # scale. The random-init flagship's fc features are ~1e-19 (contraction,
+    # CLAUDE.md), so an absolute 1e-12 floor would swamp the denominator and
+    # print rel-L2 ~ 0 for a 7.5% error (r5: this exact bug).
+    rel = float(np.linalg.norm(q - ref) / max(np.linalg.norm(ref), 1e-30))
     print(f"pre-logit feature argmax agreement: {agree:.4f}  "
-          f"feature rel-L2 err: {rel:.4f}", flush=True)
+          f"feature rel-L2 err: {rel:.3e}", flush=True)
 
     results = {v: [] for v in fns}
     for rep in range(REPS):

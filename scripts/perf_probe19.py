@@ -82,9 +82,12 @@ def main():
     for variant in ("int8_all", "int8_min128"):
         q = feats(variant)
         agree = float(np.mean(ref.argmax(-1) == q.argmax(-1)))
-        rel = float(np.linalg.norm(q - ref) / max(np.linalg.norm(ref), 1e-12))
+        # floor far below any real feature scale: the random-init flagship's
+        # fc features are ~1e-19, so an absolute 1e-12 floor would swamp the
+        # denominator and print ~0 for a real 7.5% error (probe18, r5)
+        rel = float(np.linalg.norm(q - ref) / max(np.linalg.norm(ref), 1e-30))
         print(f"{variant}: pre-logit argmax agreement {agree:.4f}  "
-              f"feature rel-L2 {rel:.4f}", flush=True)
+              f"feature rel-L2 {rel:.3e}", flush=True)
 
     results = {v: [] for v in fns}
     for rep in range(REPS):

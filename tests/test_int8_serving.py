@@ -9,7 +9,8 @@ training under zero conv-weight gradients would be silently broken — so
 differentiating the quantized conv raises). No reference equivalent — this
 is a beyond-reference serving optimization; measured numbers live in
 docs/PERF.md "int8 serving" (round 5): per-conv and end-to-end A/Bs via
-scripts/perf_probe17.py / perf_probe18.py.
+scripts/perf_probe17.py / perf_probe18.py (all-conv, 0.967x) /
+perf_probe19.py (selective BCOS_INT8_MIN_CH=128 — the default — 1.015x).
 """
 import numpy as np
 import pytest
@@ -121,6 +122,7 @@ class TestDispatchGating:
         )
 
         monkeypatch.setenv("BCOS_INT8", "1")
+        monkeypatch.setenv("BCOS_INT8_MIN_CH", "0")  # tiny test convs must still quantize
         y_q = ops.bcos_conv2d(x, w, b=2, padding=1)
         y_q_explain = ops.bcos_conv2d(x, w, b=2, padding=1, explain=True)
 
@@ -174,6 +176,7 @@ class TestDispatchGating:
 
     def test_fp32_never_quantized(self, monkeypatch):
         monkeypatch.setenv("BCOS_INT8", "1")
+        monkeypatch.setenv("BCOS_INT8_MIN_CH", "0")  # tiny test convs must still quantize
         x = jnp.asarray(
             np.random.default_rng(11).standard_normal((1, 6, 6, 8)), jnp.float32
         )
@@ -197,6 +200,7 @@ class TestDispatchGating:
         add = jnp.zeros((8,), jnp.float32)
         y_ref = bcos_conv1x1_bn_act(x, w2, None, mult, add, relu=True)
         monkeypatch.setenv("BCOS_INT8", "1")
+        monkeypatch.setenv("BCOS_INT8_MIN_CH", "0")  # tiny test convs must still quantize
         y_q = bcos_conv1x1_bn_act(x, w2, None, mult, add, relu=True)
         y_q_explain = bcos_conv1x1_bn_act(
             x, w2, None, mult, add, relu=True, explain=True
@@ -215,6 +219,7 @@ class TestTrainingProtection:
         from bcosification_tpu.modules.bcos_layers import BcosConv2d, NormedConv2d
 
         monkeypatch.setenv("BCOS_INT8", "1")
+        monkeypatch.setenv("BCOS_INT8_MIN_CH", "0")  # tiny test convs must still quantize
         x = _rand((1, 6, 6, 4), 30)
         for mod in (
             BcosConv2d(features=8, kernel_size=3, padding=1),
@@ -253,6 +258,7 @@ class TestModuleLevel:
         var = mod.init(jax.random.PRNGKey(0), x)
         y_ref = mod.apply(var, x)
         monkeypatch.setenv("BCOS_INT8", "1")
+        monkeypatch.setenv("BCOS_INT8_MIN_CH", "0")  # tiny test convs must still quantize
         y_q = mod.apply(var, x)
         y_q_explain = mod.apply(var, x, explain=True)
         np.testing.assert_array_equal(
