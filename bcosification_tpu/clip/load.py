@@ -75,11 +75,8 @@ def _maybe_fetch_checkpoint(name: str) -> Optional[Path]:
     dest = _cache_root() / f"{name.replace('/', '-')}.pt"
     expected = url.split("/")[-2]
     is_sha = len(expected) == 64 and all(c in "0123456789abcdef" for c in expected)
-    if not is_sha:
-        warnings.warn(
-            f"{url} carries no sha256 path component; download is NOT "
-            "integrity-checked"
-        )
+    # no local "not integrity-checked" warn: fetch_checkpoint emits exactly
+    # one when expected_sha is None and the filename carries no hash either
     try:
         return fetch_checkpoint(
             url, dest, timeout=300.0, expected_sha=expected if is_sha else None
@@ -102,34 +99,7 @@ def available_models():
     return list(_MODELS)
 
 
-def load_state_dict_file(name: str = "RN50") -> Optional[Dict[str, np.ndarray]]:
-    """Resolve + load an OpenAI CLIP checkpoint into {key: np.float32 array}."""
-    candidates = []
-    if os.getenv("CLIP_WEIGHTS_PATH"):
-        candidates.append(Path(os.environ["CLIP_WEIGHTS_PATH"]))
-    if os.getenv("CLIP_WEIGHTS_DIR"):
-        for ext in (".pt", ".pth", ".npz"):
-            candidates.append(
-                Path(os.environ["CLIP_WEIGHTS_DIR"]) / f"{name.replace('/', '-')}{ext}"
-            )
-    # the default download cache is an ordinary local candidate — reading a
-    # previously-fetched file is not egress, so it must work WITHOUT
-    # BCOS_ALLOW_DOWNLOAD (r5 review #3: the cache hit used to sit behind
-    # the gate, silently degrading a cached teacher to random init)
-    candidates.append(
-        Path.home() / ".cache" / "bcosification_tpu" / "clip"
-        / f"{name.replace('/', '-')}.pt"
-    )
-    path = next((p for p in candidates if p.exists()), None)
-    if path is None:
-        path = _maybe_fetch_checkpoint(name)
-    if path is None:
-        warnings.warn(
-            f"No CLIP checkpoint for {name!r} (set CLIP_WEIGHTS_PATH or "
-            "CLIP_WEIGHTS_DIR, or BCOS_ALLOW_DOWNLOAD=1 on an egress-capable "
-            "host); using random init."
-        )
-        return None
+def _read_state_dict(path: Path) -> Dict[str, np.ndarray]:
     if path.suffix == ".npz":
         return {k: np.asarray(v, np.float32) for k, v in np.load(path).items()}
     import torch
@@ -148,6 +118,63 @@ def load_state_dict_file(name: str = "RN50") -> Optional[Dict[str, np.ndarray]]:
         arr = v.float().numpy() if hasattr(v, "float") else np.asarray(v, np.float32)
         out[k] = arr
     return out
+
+
+def load_state_dict_file(name: str = "RN50") -> Optional[Dict[str, np.ndarray]]:
+    """Resolve + load an OpenAI CLIP checkpoint into {key: np.float32 array}."""
+    candidates = []
+    if os.getenv("CLIP_WEIGHTS_PATH"):
+        candidates.append(Path(os.environ["CLIP_WEIGHTS_PATH"]))
+    if os.getenv("CLIP_WEIGHTS_DIR"):
+        for ext in (".pt", ".pth", ".npz"):
+            candidates.append(
+                Path(os.environ["CLIP_WEIGHTS_DIR"]) / f"{name.replace('/', '-')}{ext}"
+            )
+    # the default download cache is an ordinary local candidate — reading a
+    # previously-fetched file is not egress, so it must work WITHOUT
+    # BCOS_ALLOW_DOWNLOAD (r5 review #3: the cache hit used to sit behind
+    # the gate, silently degrading a cached teacher to random init)
+    default_cache = (
+        Path.home() / ".cache" / "bcosification_tpu" / "clip"
+        / f"{name.replace('/', '-')}.pt"
+    )
+    candidates.append(default_cache)
+    path = next((p for p in candidates if p.exists()), None)
+    if path is None:
+        path = _maybe_fetch_checkpoint(name)
+    if path is None:
+        warnings.warn(
+            f"No CLIP checkpoint for {name!r} (set CLIP_WEIGHTS_PATH or "
+            "CLIP_WEIGHTS_DIR, or BCOS_ALLOW_DOWNLOAD=1 on an egress-capable "
+            "host); using random init."
+        )
+        return None
+    try:
+        return _read_state_dict(path)
+    except Exception as e:  # noqa: BLE001 — only self-heal OUR cache file
+        if path != default_cache:
+            # user-supplied paths fail loudly: silently serving a random-init
+            # teacher after a typo'd/corrupt CLIP_WEIGHTS_PATH would be worse
+            raise
+        warnings.warn(
+            f"cached CLIP checkpoint {path} is unreadable "
+            f"({type(e).__name__}: {e}); attempting a verified re-download"
+        )
+        refreshed = _maybe_fetch_checkpoint(name)  # sha-verified, replaces dest
+        if refreshed is not None:
+            try:
+                return _read_state_dict(refreshed)
+            except Exception as e2:  # noqa: BLE001
+                warnings.warn(
+                    f"re-fetched checkpoint is also unreadable "
+                    f"({type(e2).__name__}: {e2}); using random init"
+                )
+                return None
+        warnings.warn(
+            f"cannot re-fetch {name!r} (gate off or fetch failed); "
+            "using random init"
+        )
+        return None
 
 
 def load(name: str = "RN50", pretrained: bool = True):

@@ -13,6 +13,8 @@ Completeness: for bias-free B-cos nets, (x * W(x)).sum() == selected logit.
 from __future__ import annotations
 
 import functools
+import os
+from collections import OrderedDict
 from typing import Any, Callable, Dict, Optional, Sequence, Union
 
 import jax
@@ -155,7 +157,14 @@ def _jitted_explain(
     return run
 
 
-_EXPLAIN_CACHE: Dict[Any, Callable] = {}
+# Bounded LRU keyed by (id(model), variant). Entries pin their model (the
+# jitted closure holds it), so while an entry lives its id cannot be reused;
+# eviction removes both the entry and the pin together, so a later id reuse
+# is a plain cache miss. The bound keeps checkpoint-zoo sweeps that build
+# one model per config from accumulating compiled executables for the
+# process lifetime (r5 review); an eviction only costs a re-jit.
+_EXPLAIN_CACHE: "OrderedDict[Any, Callable]" = OrderedDict()
+_EXPLAIN_CACHE_SIZE = int(os.getenv("BCOS_EXPLAIN_CACHE_SIZE", "8"))
 
 
 def make_explain_fn(
@@ -188,6 +197,10 @@ def make_explain_fn(
             apply_fn, smooth, alpha_percentile, with_image,
             fast_model=model if use_fast else None,
         )
+        while len(_EXPLAIN_CACHE) > _EXPLAIN_CACHE_SIZE:
+            _EXPLAIN_CACHE.popitem(last=False)
+    else:
+        _EXPLAIN_CACHE.move_to_end(key)
     jitted = _EXPLAIN_CACHE[key]
 
     def explain_fn(variables, x, idx: Optional[int] = None):

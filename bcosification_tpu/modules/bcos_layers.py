@@ -184,7 +184,8 @@ def _fused_1x1_ok(mod, b) -> bool:
     )
 
 
-def _epilogue_result(mod, x, w_hwio, bias, b, explain, x_sumsq, epilogue):
+def _epilogue_result(mod, x, w_hwio, bias, b, explain, x_sumsq, epilogue,
+                     train=False):
     """Run the conv with a folded norm/act epilogue.
 
     ``epilogue=(mult, add, relu[, residual])`` comes from a norm module's
@@ -230,7 +231,8 @@ def _epilogue_result(mod, x, w_hwio, bias, b, explain, x_sumsq, epilogue):
     # with a residual branch the ReLU is post-add, so it is applied after.
     inner_relu = relu if residual is None else False
     out = _epilogue_no_residual(
-        mod, x, w_hwio, bias, b, explain, x_sumsq, (mult, add, inner_relu)
+        mod, x, w_hwio, bias, b, explain, x_sumsq, (mult, add, inner_relu),
+        train=train,
     )
     if residual is not None:
         out = out + residual
@@ -239,7 +241,8 @@ def _epilogue_result(mod, x, w_hwio, bias, b, explain, x_sumsq, epilogue):
     return out
 
 
-def _epilogue_no_residual(mod, x, w_hwio, bias, b, explain, x_sumsq, epilogue):
+def _epilogue_no_residual(mod, x, w_hwio, bias, b, explain, x_sumsq, epilogue,
+                          train=False):
     from bcosification_tpu.ops.pallas.bcos_conv1x1 import (
         bcos_conv1x1_bn_act,
         fusion_requested,
@@ -278,7 +281,7 @@ def _epilogue_no_residual(mod, x, w_hwio, bias, b, explain, x_sumsq, epilogue):
     if _fused_1x1_ok(mod, b):
         w2 = w_hwio.reshape(w_hwio.shape[2], w_hwio.shape[3])
         return bcos_conv1x1_bn_act(
-            x, w2, bias, mult, add, relu=relu, explain=explain,
+            x, w2, bias, mult, add, relu=relu, explain=explain, train=train,
             x_sumsq=x_sumsq if mod.groups == 1 else None,
         )
     out = ops.bcos_conv2d(
@@ -324,7 +327,8 @@ class BcosConv2d(_ConvBase):
             if self.normalize_weights:
                 w = ops.normed_conv_weight(w)
             return _epilogue_result(
-                self, x, w, self._bias(x), b, explain, x_sumsq, epilogue
+                self, x, w, self._bias(x), b, explain, x_sumsq, epilogue,
+                train=train,
             )
         return ops.bcos_conv2d(
             x,
@@ -477,7 +481,7 @@ class BcosifyConv2d(_ConvBase):
         if epilogue is not None:
             return _epilogue_result(
                 self, x, self._weight(x), self._bias(x), b, explain, x_sumsq,
-                epilogue,
+                epilogue, train=train,
             )
         return ops.bcos_conv2d(
             x,

@@ -299,14 +299,18 @@ def _conv(x, w, stride, padding, dilation, groups, allow_int8=False):
         allow_int8
         and _int8_serving_enabled()
         and x.dtype == jnp.bfloat16
-        # BCOS_INT8_MIN_CH: skip quantizing convs whose operand channel
-        # count is below the threshold. probe17 measured int8 LOSING (0.82x)
-        # on the spatially-large/small-channel layer1 shapes while winning
-        # 1.66-2.02x at >=128 channels; end-to-end the all-conv config is
-        # 0.962-0.971x (probe18) while min_ch=128 is 1.017x (probe19,
-        # docs/PERF.md "int8 serving") — so the best-measured threshold is
-        # the default. 0 = quantize every eligible conv (probe18's config).
-        and min(x.shape[-1], w.shape[-1])
+        # BCOS_INT8_MIN_CH: skip quantizing convs whose PER-GROUP operand
+        # channel count is below the threshold. probe17 measured int8
+        # LOSING (0.82x) on the thin-contraction layer1 shapes while
+        # winning 1.66-2.02x at >=128 channels; end-to-end the all-conv
+        # config is 0.962-0.971x (probe18) while min_ch=128 is 1.017x
+        # (probe19, docs/PERF.md "int8 serving") — so the best-measured
+        # threshold is the default. Per-group depths (HWIO: w.shape[2] is
+        # already C_in/groups) keep grouped/depthwise convs — whose MXU
+        # contraction is the thin per-group slice, probe17's losing regime
+        # — out of the quantized set even when total channels are wide.
+        # 0 = quantize every eligible conv (probe18's config).
+        and min(w.shape[2], w.shape[-1] // max(groups, 1))
         >= int(os.getenv("BCOS_INT8_MIN_CH", "128"))
     ):
         return _conv_int8_dynamic(x, w, stride, padding, dilation, groups)

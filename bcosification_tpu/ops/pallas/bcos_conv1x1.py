@@ -163,14 +163,16 @@ def _pallas_bwd_explain(x2, w, ssq, mult, ct, a, *, eps, relu, tm):
 # -----------------------------------------------------------------------------
 # jnp reference (fallback + CPU tests; autodiff covers both explain modes)
 # -----------------------------------------------------------------------------
-def _jnp_path(x4, w, bias, mult, add, relu, eps, explain, x_sumsq):
+def _jnp_path(x4, w, bias, mult, add, relu, eps, explain, x_sumsq, train=False):
     from bcosification_tpu.ops import bcos as _ops
 
     # routed through ops.bcos._conv so the BCOS_INT8 serving path (value
-    # forwards only) covers the bottlenecks' 1x1 convs too
+    # forwards only) covers the bottlenecks' 1x1 convs too; train-mode
+    # forwards must never quantize (round() has zero gradient, and a
+    # forward-only train pass would silently absorb ~7% quantization error)
     u = _ops._conv(
         x4, w.reshape(1, 1, *w.shape).astype(x4.dtype),
-        (1, 1), (0, 0), (1, 1), 1, allow_int8=not explain,
+        (1, 1), (0, 0), (1, 1), 1, allow_int8=not explain and not train,
     )
     if bias is not None:
         u = u + jnp.reshape(bias, (1, 1, 1, -1)).astype(u.dtype)
@@ -253,6 +255,7 @@ def bcos_conv1x1_bn_act(
     relu: bool = True,
     eps: float = CONV_NORM_EPS,
     explain: bool = False,
+    train: bool = False,
     x_sumsq: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Fused b=2 B-cos 1x1 conv + per-channel affine + optional ReLU.
@@ -290,4 +293,5 @@ def bcos_conv1x1_bn_act(
         # the hint chain (avoids a spurious f32 cotangent branch to the
         # producing activation).
         return _fused_tpu(x4, w, lax.stop_gradient(x_sumsq), mult, add, relu, eps)
-    return _jnp_path(x4, w, bias, mult, add, relu, eps, explain, x_sumsq)
+    return _jnp_path(x4, w, bias, mult, add, relu, eps, explain, x_sumsq,
+                     train=train)

@@ -301,11 +301,13 @@ def _multiproc_main(n_procs: int):
         and results
         and all(r["value"] < FAST_MODE_THRESHOLD for r in results)
     ):
-        # bound by completed extension spawns, not len(results): a child that
-        # exits non-zero / prints no JSON returns 'ok' without appending, and
+        # bound by completed CHILDREN, not samples: a child that exits
+        # non-zero / prints no JSON returns 'ok' without appending, and
         # counting results alone would spawn forever against a broken child
+        # (and over-run the documented BENCH_PROCS_MAX total-children cap
+        # when base children failed)
         ext_done = 0
-        ext_slots = procs_max - len(results)
+        ext_slots = max(0, procs_max - done)
         while ext_done < ext_slots:
             before = len(results)
             status = spawn(i)

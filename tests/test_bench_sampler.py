@@ -198,6 +198,26 @@ def test_fast_mode_extension_bounded_on_failing_children(monkeypatch, capsys):
     )
 
 
+def test_total_children_capped_when_base_children_fail(monkeypatch, capsys):
+    """The extension budget counts completed CHILDREN, not samples: with
+    failed base children, bounding on samples would run more than
+    BENCH_PROCS_MAX total children (each a ~10-min TPU run)."""
+    bench = _load_bench(monkeypatch)
+    monkeypatch.setenv("BENCH_PROCS_MAX", "5")
+    calls = {"children": 0}
+
+    def fake_run(argv, **k):
+        calls["children"] += 1
+        if calls["children"] == 1:
+            return _Out(stdout=_line(4100.0) + "\n")  # one slow-mode sample
+        return _Out(rc=1)  # the rest fail
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    bench._multiproc_main(3)
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert calls["children"] == 5, "total children must respect BENCH_PROCS_MAX"
+    assert rec["procs_sampled"] == 1
+
+
 def test_fast_failures_fall_back_in_process(monkeypatch):
     bench = _load_bench(monkeypatch)
     monkeypatch.setattr(subprocess, "run", lambda *a, **k: _Out(rc=3))

@@ -118,6 +118,40 @@ def test_cached_download_readable_without_gate(_clean_env, monkeypatch, tmp_path
     assert sd2 is not None and "w" in sd2
 
 
+def test_corrupt_default_cache_self_heals(_clean_env, monkeypatch, tmp_path):
+    """A corrupt file in OUR default cache must not crash or silently load:
+    with the gate on it is re-downloaded (sha-verified) and the load
+    succeeds; with the gate off it degrades to random init with a warning
+    (r5 review: the candidate refactor dropped the old self-heal)."""
+    url, _ = _make_release(tmp_path)
+    monkeypatch.setitem(clip_load._MODEL_URLS, "RN50", url)
+    cached = clip_load._cache_root() / "RN50.pt"
+    cached.parent.mkdir(parents=True)
+    cached.write_bytes(b"not a checkpoint")
+
+    # gate off: degrade, don't raise
+    with pytest.warns(UserWarning, match="unreadable"):
+        assert clip_load.load_state_dict_file("RN50") is None
+    assert cached.read_bytes() == b"not a checkpoint"  # nothing replaced
+
+    # gate on: verified re-download replaces the corrupt file and loads
+    monkeypatch.setenv("BCOS_ALLOW_DOWNLOAD", "1")
+    with pytest.warns(UserWarning, match="unreadable"):
+        sd = clip_load.load_state_dict_file("RN50")
+    assert sd is not None and "w" in sd
+    assert cached.read_bytes() != b"not a checkpoint"
+
+
+def test_corrupt_user_path_raises(_clean_env, monkeypatch, tmp_path):
+    """A corrupt USER-supplied checkpoint fails loudly — silently serving a
+    random-init teacher after a typo'd CLIP_WEIGHTS_PATH would be worse."""
+    bad = tmp_path / "teacher.pt"
+    bad.write_bytes(b"garbage")
+    monkeypatch.setenv("CLIP_WEIGHTS_PATH", str(bad))
+    with pytest.raises(Exception):
+        clip_load.load_state_dict_file("RN50")
+
+
 def test_unknown_name_not_fetched(_clean_env, monkeypatch):
     monkeypatch.setenv("BCOS_ALLOW_DOWNLOAD", "1")
 

@@ -152,6 +152,24 @@ def test_make_explain_fn_fast_dispatch():
     )
 
 
+def test_explain_cache_bounded(monkeypatch):
+    """The per-model compiled-explain cache is a bounded LRU: a sweep that
+    builds one model per checkpoint must not accumulate executables (and
+    their pinned models) for the process lifetime (r5 review)."""
+    from bcosification_tpu.explain import core as explain_core
+
+    monkeypatch.setattr(explain_core, "_EXPLAIN_CACHE_SIZE", 2)
+    explain_core._EXPLAIN_CACHE.clear()
+    nets = [_tiny("resnet50", ("bottleneck", (1, 1))) for _ in range(3)]
+    for net, _ in nets:
+        explain_core.make_explain_fn(net, with_image=False)
+    assert len(explain_core._EXPLAIN_CACHE) == 2
+    # the surviving entries are the two most recent models
+    live_ids = {k[0] for k in explain_core._EXPLAIN_CACHE}
+    assert live_ids == {id(nets[1][0]), id(nets[2][0])}
+    explain_core._EXPLAIN_CACHE.clear()
+
+
 def test_fast_explain_bf16_tolerance():
     """The TPU bench runs this path in bf16; check the scale reconstruction
     (incl. the out-minus-identity cancellation) stays within bf16 rounding

@@ -174,6 +174,58 @@ class TestDispatchGating:
         )
         assert "i8" in jaxpr_large
 
+    def test_grouped_conv_per_group_depth_gates(self, monkeypatch):
+        """The min-ch threshold measures PER-GROUP operand depth: a grouped
+        conv with wide total channels but thin per-group contraction (the
+        ResNeXt/depthwise regime, probe17's losing shape) must stay bf16
+        under the default threshold, while the same-width dense conv
+        quantizes (r5 review: min(total_in, total_out) misclassified
+        grouped convs as wide)."""
+        monkeypatch.setenv("BCOS_INT8", "1")  # default BCOS_INT8_MIN_CH=128
+        monkeypatch.delenv("BCOS_INT8_MIN_CH", raising=False)
+        x = _rand((1, 6, 6, 128), 40)
+        w_grouped = _rand((3, 3, 4, 128), 41, 0.2)  # groups=32: depth 4
+        jaxpr_g = str(
+            jax.make_jaxpr(
+                lambda xx, ww: ops._conv(xx, ww, 1, 1, 1, 32, allow_int8=True)
+            )(x, w_grouped)
+        )
+        assert "i8" not in jaxpr_g
+        w_dense = _rand((3, 3, 128, 128), 42, 0.2)  # groups=1: depth 128
+        jaxpr_d = str(
+            jax.make_jaxpr(
+                lambda xx, ww: ops._conv(xx, ww, 1, 1, 1, 1, allow_int8=True)
+            )(x, w_dense)
+        )
+        assert "i8" in jaxpr_d
+
+    def test_epilogue_train_forward_never_quantized(self, monkeypatch):
+        """bcos_conv1x1_bn_act must not quantize a train-mode forward even
+        when called directly (r5 review: the contract was enforced only at
+        a distant eval-only gate in models/resnet)."""
+        monkeypatch.setenv("BCOS_INT8", "1")
+        monkeypatch.setenv("BCOS_INT8_MIN_CH", "0")
+        x = _rand((2, 4, 4, 16), 43)
+        w2 = _rand((16, 8), 44, 0.2)
+        mult = jnp.ones((8,), jnp.float32)
+        add = jnp.zeros((8,), jnp.float32)
+        jaxpr_train = str(
+            jax.make_jaxpr(
+                lambda xx, ww: bcos_conv1x1_bn_act(
+                    xx, ww, None, mult, add, relu=True, train=True
+                )
+            )(x, w2)
+        )
+        assert "i8" not in jaxpr_train
+        jaxpr_serve = str(
+            jax.make_jaxpr(
+                lambda xx, ww: bcos_conv1x1_bn_act(
+                    xx, ww, None, mult, add, relu=True
+                )
+            )(x, w2)
+        )
+        assert "i8" in jaxpr_serve
+
     def test_fp32_never_quantized(self, monkeypatch):
         monkeypatch.setenv("BCOS_INT8", "1")
         monkeypatch.setenv("BCOS_INT8_MIN_CH", "0")  # tiny test convs must still quantize
