@@ -15,6 +15,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import threading
 from pathlib import Path
 from typing import Callable, Optional, Tuple
 
@@ -69,6 +70,7 @@ class CachedImageFolder:
                 self._filled = set(json.load(f))
         else:
             self._filled = set()
+        self._fill_lock = threading.Lock()
 
     def __len__(self):
         return len(self.dataset)
@@ -92,13 +94,28 @@ class CachedImageFolder:
             return np.asarray(img, np.uint8)
 
     def _get_cached(self, i) -> np.ndarray:
+        # loader threads call this concurrently (ThreadPoolExecutor,
+        # loader.py): guard the shared _filled set — an unlocked
+        # sorted(self._filled) during a concurrent .add() raises "set
+        # changed size during iteration" mid-epoch, and two simultaneous
+        # checkpoint hits interleave writes to the meta file (r5 review).
+        # The decode itself stays outside the lock (it dominates the time
+        # and touches only per-index state).
         if i not in self._filled:
             arr = self._decode_resized(i)
             self._mm[i] = arr.reshape(-1)
-            self._filled.add(i)
-            if len(self._filled) % 10000 == 0 or len(self._filled) == len(self):
-                with open(self._meta_path, "w") as f:
-                    json.dump(sorted(self._filled), f)
+            with self._fill_lock:
+                self._filled.add(i)
+                checkpoint = (
+                    len(self._filled) % 10000 == 0
+                    or len(self._filled) == len(self)
+                )
+                snapshot = sorted(self._filled) if checkpoint else None
+            if snapshot is not None:
+                tmp = self._meta_path.with_suffix(f".tmp{os.getpid()}")
+                with open(tmp, "w") as f:
+                    json.dump(snapshot, f)
+                tmp.replace(self._meta_path)
         s = self.cache_size
         return self._mm[i].reshape(s, s, 3)
 

@@ -112,6 +112,13 @@ class WdsPipeline:
     # GIL, so they scale with cores (the wds rows of scripts/bench_loader.py).
     native_decode: object = "auto"
     num_threads: int = 8
+    # loop the shard stream indefinitely. Multi-host split shards give hosts
+    # UNEQUAL shard/sample counts; the trainer then drives every host for a
+    # common steps_per_epoch (a jitted collective step sequence must be
+    # identical across processes or the pod hangs), which requires each
+    # host's stream to never run dry. Each pass reshuffles (seed, epoch,
+    # pass)-keyed.
+    repeat: bool = False
 
     def set_epoch(self, epoch: int):
         """Vary shard order and (native path) augmentation draws per epoch —
@@ -119,7 +126,9 @@ class WdsPipeline:
         self._epoch = int(epoch)
 
     def _samples(self) -> Iterator[Dict[str, object]]:
-        rng = np.random.default_rng((self.seed, getattr(self, "_epoch", 0)))
+        rng = np.random.default_rng(
+            (self.seed, getattr(self, "_epoch", 0), getattr(self, "_pass", 0))
+        )
         shards = list(self.shards)
         if self.shuffle_buffer:
             rng.shuffle(shards)
@@ -206,6 +215,7 @@ class WdsPipeline:
         return (
             (self.seed * 0x9E3779B97F4A7C15)
             ^ (getattr(self, "_epoch", 0) * 0xC2B2AE3D27D4EB4F)
+            ^ (getattr(self, "_pass", 0) * 0xA24BAED4963EE407)
             ^ idx
         ) & (2**64 - 1)
 
@@ -278,6 +288,14 @@ class WdsPipeline:
         return np.asarray(tf(img), np.float32)
 
     def __iter__(self):
+        self._pass = 0
+        while True:
+            yield from self._iter_once()
+            if not self.repeat:
+                return
+            self._pass += 1
+
+    def _iter_once(self):
         plan = self._native_plan()
         if plan is not None:
             yield from self._iter_native(plan)
@@ -340,6 +358,7 @@ class CC3MDataModule(ClassificationDataModule):
             return out
 
         if stage in (None, "fit", "train"):
+            split_active = bool(self.config.get("split_shards_by_process", False))
             self.train_dataset = WdsPipeline(
                 shards(self.TRAIN_SHARDS, split=True),
                 self.batch_size,
@@ -347,6 +366,11 @@ class CC3MDataModule(ClassificationDataModule):
                 transform=self.config["train_transform"],
                 tokenizer=tokenize,
                 shuffle_buffer=self.config.get("shuffle_buffer", 1000),
+                # split hosts hold unequal shard/sample counts; the stream
+                # must repeat so the trainer can drive a COMMON
+                # steps_per_epoch on every host (jitted collective step
+                # sequences must match across processes)
+                repeat=split_active,
             )
         self.eval_dataset = WdsPipeline(
             shards(self.VAL_SHARDS),
@@ -357,6 +381,11 @@ class CC3MDataModule(ClassificationDataModule):
         )
 
     def train_dataloader(self, seed: int = 0):
+        # thread the run's configured seed into the pipeline — shard order,
+        # shuffle-buffer draws and native augmentation crops are all keyed
+        # on it (r5 review: the argument used to be silently dropped, so
+        # every seed produced bit-identical streams)
+        self.train_dataset.seed = int(seed)
         return self.train_dataset
 
     def val_dataloader(self):

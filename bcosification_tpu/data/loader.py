@@ -86,8 +86,12 @@ class DataLoader:
         from bcosification_tpu.data import transforms as T
 
         indices = self._indices()
+        # hoisted: rebuilding list(enumerate(...)) inside the comprehension
+        # is O(n^2/batch) — minutes of epoch-start CPU at ImageNet scale on
+        # a 1-core host (r5 review)
+        enumerated = list(enumerate(indices))
         batches = [
-            list(enumerate(indices))[i : i + self.batch_size]
+            enumerated[i : i + self.batch_size]
             for i in range(0, len(indices), self.batch_size)
         ]
         if self.drop_last and batches and len(batches[-1]) < self.batch_size:

@@ -31,8 +31,17 @@ from bcosification_tpu.parallel.mesh import MODEL_AXIS
 __all__ = ["tp_param_specs", "shard_params", "tp_size"]
 
 # (module-name, param-name) -> sharded weight axis (0 = in/row, 1 = out/col)
-_COLUMN_PARALLEL = ("to_qkv", "linear1", "c_fc")  # out features sharded
-_ROW_PARALLEL = ("to_out", "linear2", "c_proj")  # in features sharded
+# models/vit.py blocks nest linears under attn/ff modules (to_qkv, to_out,
+# linear1, linear2); clip/model.py's ResidualAttentionBlock uses FLAT names
+# (attn_in_proj, attn_out_proj, mlp_c_fc, mlp_c_proj — clip/model.py:283-308),
+# so those appear as owners themselves (r5 review: the old exact-name
+# in_block gate matched neither, silently replicating every CLIP weight)
+_COLUMN_PARALLEL = (
+    "to_qkv", "linear1", "c_fc", "attn_in_proj", "mlp_c_fc",
+)  # out features sharded
+_ROW_PARALLEL = (
+    "to_out", "linear2", "c_proj", "attn_out_proj", "mlp_c_proj",
+)  # in features sharded
 
 
 def _path_keys(path):
@@ -43,8 +52,15 @@ def _spec_for(path, leaf) -> P:
     keys = _path_keys(path)
     name = keys[-1]
     owner = keys[-2] if len(keys) >= 2 else ""
-    # only transformer-block linears; conv stems etc. stay replicated
-    in_block = any(k in ("attn", "ff", "mlp", "attention") for k in keys)
+    # only transformer-block linears; conv stems etc. stay replicated.
+    # exact names cover the vit.py attn/ff module scopes; the prefixed
+    # forms cover clip/model.py's flat in-block names (attnpool's c_proj
+    # deliberately does NOT match: "attnpool" is neither).
+    in_block = any(
+        k in ("attn", "ff", "mlp", "attention")
+        or k.startswith(("attn_", "mlp_"))
+        for k in keys
+    )
     if not in_block:
         return P()
     if owner in _COLUMN_PARALLEL:

@@ -125,6 +125,14 @@ def make_kd_train_step(
         )
         s_feat = _l2(s_out)
         t_feat = _l2(t_feat)
+        if s_feat.ndim == 3:
+            # attn_unpool students emit batch-first [B, HW, D]
+            # (modules/bcosattnpool.py:99); SigLipLoss's cos_scaling path is
+            # location-first (HW, B, D) — logits.mean(axis=0) pools
+            # LOCATIONS and shape[1] is the batch (losses.py:384-410, the
+            # convention its parity test locks). Without this transpose the
+            # loss pools over the batch axis (or shape-errors when HW != B).
+            s_feat = jnp.swapaxes(s_feat, 0, 1)
         loss = siglip(s_feat, t_feat)
         return loss, new_bs
 

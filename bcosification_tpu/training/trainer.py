@@ -265,8 +265,27 @@ class Trainer:
         (wandb drops lower-step logs, TB charts garble when 'lr' is written
         at both epoch and step indices); falls back to epoch when no per-step
         logging happens."""
+        if not self.metrics_history:
+            # resumed run: adopt the persisted record before the first write
+            # so the wholesale rewrite below cannot truncate pre-preemption
+            # epochs out of metrics.json.gz (the CSV path does the same via
+            # its header adoption)
+            prev = self.save_dir / "metrics" / "metrics.json.gz"
+            if prev.exists():
+                try:
+                    with gzip.open(prev, "rt") as f:
+                        self.metrics_history = {
+                            k: [(int(e), float(v)) for e, v in rows]
+                            for k, rows in json.load(f).items()
+                        }
+                except (OSError, ValueError) as e:
+                    print(f"metrics.json.gz unreadable, starting fresh: {e}")
         for k, v in metrics.items():
-            self.metrics_history.setdefault(k, []).append((epoch, float(v)))
+            hist = self.metrics_history.setdefault(k, [])
+            # drop rows from a partially-trained epoch being re-run
+            while hist and hist[-1][0] >= epoch:
+                hist.pop()
+            hist.append((epoch, float(v)))
         if not self._io_process:
             return
         mdir = self.save_dir / "metrics"
@@ -692,6 +711,12 @@ class Trainer:
         max_epochs = max_epochs or config.get("trainer", {}).get("max_epochs", 90)
         datamodule.setup("fit")
         train_loader = datamodule.train_dataloader(seed=config.get("seed", 0) or 0)
+        if getattr(train_loader, "mode", None) == "pair":
+            # KD uses images only (the captions are dropped at the top of the
+            # batch loop) — skip the per-batch BPE tokenization of every
+            # caption on the 1-core input hot path. Validation/zeroshot
+            # loaders are untouched.
+            train_loader.mode = "image"
         try:
             steps_per_epoch = max(len(train_loader), 1)
         except TypeError:  # webdataset pipelines have no len
@@ -707,6 +732,9 @@ class Trainer:
             self.experiment, variables["params"], steps_per_epoch
         )
         mcfg = config.get("model", {})
+        kd_cos_power = (
+            int(mcfg.get("cos_power", 1)) if mcfg.get("attn_unpool") else 0
+        )
         train_step = kd_lib.make_kd_train_step(
             model,
             teacher,
@@ -714,7 +742,7 @@ class Trainer:
             tx,
             logit_scale=float(mcfg.get("logit_scale_value", 10)),
             logit_bias=float(mcfg.get("logit_bias_value", -10)),
-            cos_power=int(mcfg.get("cos_power", 1)) if mcfg.get("attn_unpool") else 0,
+            cos_power=kd_cos_power,
             use_agc=config.get("use_agc", True),
             loss_mode=config.get("siglip_loss_mode", "global"),
             mesh=self.mesh,
@@ -765,7 +793,11 @@ class Trainer:
             # features; pretrained weights always have nonzero norms
             s = s_out / (jnp.linalg.norm(s_out, axis=-1, keepdims=True) + 1e-8)
             t = t_feat / (jnp.linalg.norm(t_feat, axis=-1, keepdims=True) + 1e-8)
-            return SigLipLoss()(s, t, 10.0, -10.0)
+            if s.ndim == 3:
+                # attn_unpool: batch-first -> SigLipLoss's location-first
+                # (HW, B, D) convention, same as the train loss (kd.py)
+                s = jnp.swapaxes(s, 0, 1)
+            return SigLipLoss()(s, t, 10.0, -10.0, cos_scaling=kd_cos_power)
 
         # --profile_dir works here too (wds loaders may not expose a length,
         # so the window is closed at epoch end if the loader runs short)
@@ -785,6 +817,13 @@ class Trainer:
             mesh_lib.shard_batch_local if split_local else mesh_lib.shard_batch
         )
 
+        # a repeating loader (multi-host split shards) yields an INFINITE
+        # stream: every host must run the same step count per epoch, so the
+        # epoch is closed at steps_per_epoch (identical on all hosts — the
+        # jitted train_step is a collective program)
+        step_cap = (
+            steps_per_epoch if getattr(train_loader, "repeat", False) else None
+        )
         restore_sigterm = self._install_preemption_handler()
         for epoch in range(start_epoch, max_epochs):
             t0 = time.time()
@@ -793,13 +832,17 @@ class Trainer:
             losses = []
             skipped = skip_steps if epoch == start_epoch else 0
             skip_left = skipped
+            seen = 0  # batches consumed this epoch (skipped + trained)
             interrupted = False  # preempted strictly mid-epoch (see fit())
             for batch in train_loader:
                 if self._preempt_requested:
                     interrupted = True
                     break
+                seen += 1
                 if skip_left:  # fast-forward a preempted epoch
                     skip_left -= 1
+                    if step_cap is not None and seen >= step_cap:
+                        break
                     continue
                 batch = {"image": batch["image"]}
                 batch = put_train(batch, self.mesh)
@@ -820,6 +863,8 @@ class Trainer:
                         lg.log_metrics(step_metrics, step=int(state.step))
                 if fast_dev_run:
                     break
+                if step_cap is not None and seen >= step_cap:
+                    break  # common per-host epoch length (repeating stream)
             if profile_window and len(losses) <= profile_window[1]:
                 # epoch ended inside the window — close after draining
                 if len(losses) > profile_window[0]:
@@ -840,6 +885,19 @@ class Trainer:
                     f"'last' checkpoint saved; resume with the same command"
                 )
                 break
+            if skipped and not losses and not interrupted and not fast_dev_run:
+                # resume guard for length-less (wds) loaders: the preemption
+                # hit AFTER this epoch's final step, so the fast-forward
+                # consumed the whole stream without training. The sized-
+                # loader case promotes at restore time (skip_steps >=
+                # len(train_loader)); here the length is only learnable by
+                # exhaustion — promote to the next epoch instead of logging
+                # a NaN train_loss for a fully-trained epoch.
+                print(
+                    f"epoch {epoch} was already fully trained before the "
+                    f"preemption; advancing to epoch {epoch + 1}"
+                )
+                continue
             train_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
 
             val_losses, n = [], 0
@@ -967,7 +1025,18 @@ class Trainer:
                     w = zs_lib.zeroshot_classifier(
                         text_model, text_vars, dm.CATEGORIES, imagenet_templates
                     )
-                acc = zs_lib.zeroshot_evaluate(encode, dm.test_dataloader(), w)
+                # attn_unpool models score spatial features with the
+                # configured cosine power, like the reference's
+                # clip_evaluate reading config['model']['cos_power']
+                # (ref trainer.py:117-121)
+                zcfg = self.config.get("model", {})
+                acc = zs_lib.zeroshot_evaluate(
+                    encode, dm.test_dataloader(), w,
+                    cos_power=(
+                        int(zcfg.get("cos_power", 1))
+                        if zcfg.get("attn_unpool") else 0
+                    ),
+                )
                 results[f"zeroshot_{name}_acc1"] = acc["acc1"]
         except (FileNotFoundError, NotADirectoryError) as e:
             # ONLY missing-data errors are skippable (like the reference's

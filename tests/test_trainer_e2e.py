@@ -123,6 +123,18 @@ def test_trainer_fit_and_resume(tmp_path):
     state2 = trainer2.fit(model, variables, dm, max_epochs=3)
     assert int(state2.step) == 3 * 4
 
+    # the persisted metric record keeps the PRE-resume epochs: the fresh
+    # trainer's first wholesale metrics.json.gz rewrite must adopt the
+    # existing file instead of truncating it to post-resume history
+    # (r5 review)
+    import gzip as _gzip
+    import json as _json
+
+    with _gzip.open(exp.save_dir / "metrics" / "metrics.json.gz", "rt") as f:
+        hist = _json.load(f)
+    assert [e for e, _ in hist["train_loss"]] == [0, 1, 2]
+    assert [e for e, _ in hist["initial_val_acc1"]] == [-1]
+
     # --force-no-resume (ref train.py:40-46): resume=False starts from
     # scratch even though last checkpoints exist
     trainer3 = Trainer(exp)
