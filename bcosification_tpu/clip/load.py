@@ -140,6 +140,32 @@ def load_state_dict_file(name: str = "RN50") -> Optional[Dict[str, np.ndarray]]:
     )
     candidates.append(default_cache)
     path = next((p for p in candidates if p.exists()), None)
+    if path == default_cache:
+        # OUR cache file: verify bytes against the published sha before use,
+        # exactly as the reference's _download re-verifies its cache
+        # (CLIP/clip/clip.py:47-52). Hashing is local — no egress, no gate.
+        # User-supplied candidates are trusted as-is (they may legitimately
+        # differ from the OpenAI release).
+        url = _MODEL_URLS.get(name, "")
+        expected = url.split("/")[-2] if "/" in url else ""
+        if (
+            len(expected) == 64
+            and all(c in "0123456789abcdef" for c in expected)
+        ):
+            from bcosification_tpu.models.pretrained import _sha256_file
+
+            if _sha256_file(path) != expected:
+                warnings.warn(
+                    f"{path} fails its sha256 check; attempting a verified "
+                    "re-download"
+                )
+                path = _maybe_fetch_checkpoint(name)
+                if path is None:
+                    warnings.warn(
+                        f"cannot re-fetch {name!r} (gate off or fetch "
+                        "failed); using random init"
+                    )
+                    return None
     if path is None:
         path = _maybe_fetch_checkpoint(name)
     if path is None:

@@ -30,7 +30,7 @@ _LIB_PATHS = [
 # Must match bcos_loader_abi_version() in native/bcos_loader.cpp. A stale
 # binary (the .so is checked in; a fresh checkout equalises mtimes, so make
 # cannot detect it) is rejected rather than silently misbehaving.
-_ABI_VERSION = 5
+_ABI_VERSION = 6
 
 _lib = None
 

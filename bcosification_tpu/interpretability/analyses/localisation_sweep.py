@@ -10,6 +10,9 @@ import os
 
 
 def main():
+    from bcosification_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()  # BCOS_PLATFORM={cpu,tpu,auto} honoured (CLAUDE.md)
     parser = argparse.ArgumentParser()
     parser.add_argument("--dataset", default="ImageNet")
     parser.add_argument("--base_network", default="bcosification")

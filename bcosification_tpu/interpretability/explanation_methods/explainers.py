@@ -357,13 +357,25 @@ class Rise(ExplainerBase):
     def _masks(self, H, W):
         rng = np.random.default_rng(self.seed)
         s = self.cell_size
-        grid = rng.random((self.n_masks, s, s)) < self.p
-        masks = np.zeros((self.n_masks, H, W), np.float32)
+        grid = (rng.random((self.n_masks, s, s)) < self.p).astype(np.float32)
         ch, cw = int(np.ceil(H / s)), int(np.ceil(W / s))
+        # reference semantics (ref rise.py:40-54): BILINEAR upsample of the
+        # s x s grid to (s+1)*cell so a random [0, cell) offset can phase-
+        # shift across a full cell, then crop HxW. Smooth masks are part of
+        # RISE's design; the old kron used (2*cell)-period hard blocks, so
+        # only ~half the grid covered the image and the offset spanned only
+        # half a cell (r5 review).
+        up_h, up_w = (s + 1) * ch, (s + 1) * cw
+        up = np.asarray(
+            jax.image.resize(
+                jnp.asarray(grid), (self.n_masks, up_h, up_w), "linear"
+            ),
+            np.float32,
+        )
+        masks = np.zeros((self.n_masks, H, W), np.float32)
         for i in range(self.n_masks):
-            up = np.kron(grid[i].astype(np.float32), np.ones((ch * 2, cw * 2)))
             oy, ox = rng.integers(0, ch), rng.integers(0, cw)
-            masks[i] = up[oy : oy + H, ox : ox + W]
+            masks[i] = up[i, oy : oy + H, ox : ox + W]
         return masks
 
     def attribute_selection(self, img, targets):

@@ -181,13 +181,19 @@ def run(args):
         print(f"skip existing {output}")
         return
 
-    bundle, transform, tokenizer = load_clip(
-        model_type=args.model_type,
-        model_name=args.model,
-        pretrained=args.pretrained,
-        cosine_power=args.cosine_power,
-        experiment_path=args.experiment_path,
-    )
+    if getattr(args, "skip_load", False) and task == "linear_probe":
+        # ref cli.py:251-253: "for linear probes, when everything is cached,
+        # no need to load model" — the probe sweeps pass this for refit-only
+        # grid points so the tower isn't rebuilt per point
+        bundle = transform = tokenizer = None
+    else:
+        bundle, transform, tokenizer = load_clip(
+            model_type=args.model_type,
+            model_name=args.model,
+            pretrained=args.pretrained,
+            cosine_power=args.cosine_power,
+            experiment_path=args.experiment_path,
+        )
     if str(args.model).count("nllb-clip") > 0:
         # ref cli.py:262-264: NLLB-CLIP tokenizers must be pointed at the
         # benchmark language before any text is encoded
@@ -218,15 +224,35 @@ def run(args):
 
         classnames = getattr(ds, "classes", None) or []
         templates = getattr(ds, "templates", None) or ["a photo of a {}."]
+        # bundle value (parsed from the checkpoint/pretrained spec) wins;
+        # --cosine_power is the fallback for bcos models without one (the
+        # old `x if bundle.cosine_power else 0` discarded the fallback it
+        # had just computed, making the flag a silent no-op — r5 review)
         cosine_power = bundle.cosine_power or (
             args.cosine_power if args.model_type.startswith("bcos") else 0
         )
         metrics = m.evaluate(
             bundle, loader, classnames, templates,
-            cosine_power=cosine_power if bundle.cosine_power else 0,
+            cosine_power=cosine_power,
             verbose=args.verbose, save_clf=args.save_clf, load_clfs=args.load_clfs,
         )
     elif task == "linear_probe":
+        if bundle is None:  # --skip_load: features must be fully cached
+            from clip_benchmark.metrics import linear_probe as m
+
+            metrics = m.evaluate(
+                None, None, None,
+                fewshot_k=args.fewshot_k, fewshot_lr=args.fewshot_lr,
+                fewshot_epochs=args.fewshot_epochs, batch_size=args.batch_size,
+                feature_root=args.feature_root,
+                model_id=(
+                    f"{args.model_type}_{args.model}_{args.pretrained}"
+                ).replace("/", "_"),
+                dataset_name=dataset_name.replace("/", "_"),
+                seed=args.seed, val_loader=None,
+                normalize=bool(args.normalize), verbose=args.verbose,
+            )
+            return _dump_output(args, dataset_name, task, metrics, output)
         train_split = args.train_split if isinstance(args.train_split, str) else args.train_split[0]
         train_ds, train_loader = make_loader(train_split)
         _, test_loader = make_loader(args.split)
@@ -268,7 +294,12 @@ def run(args):
             fewshot_k=args.fewshot_k, fewshot_lr=args.fewshot_lr,
             fewshot_epochs=args.fewshot_epochs, batch_size=args.batch_size,
             feature_root=args.feature_root,
-            model_id=f"{args.model_type}_{args.model}".replace("/", "_"),
+            # pretrained is part of the cache identity (ref cli.py's
+            # model+'-'+pretrained+'-'+dataset feature dir): two checkpoints
+            # of one arch must never share cached features
+            model_id=(
+                f"{args.model_type}_{args.model}_{args.pretrained}"
+            ).replace("/", "_"),
             dataset_name=dataset_name.replace("/", "_"),
             seed=args.seed, val_loader=val_loader,
             normalize=bool(args.normalize), verbose=args.verbose,
@@ -283,9 +314,19 @@ def run(args):
         from clip_benchmark.metrics import captioning as m
 
         metrics = m.evaluate(bundle, loader, verbose=args.verbose)
+    elif task == "image_caption_selection":
+        # ref cli.py:331-333 — sugar_crepe/winoground's auto-default task
+        _, loader = make_loader(args.split)
+        from clip_benchmark.metrics import image_caption_selection as m
+
+        metrics = m.evaluate(bundle, loader)
     else:
         raise NotImplementedError(f"task {task}")
 
+    return _dump_output(args, dataset_name, task, metrics, output)
+
+
+def _dump_output(args, dataset_name, task, metrics, output):
     dump = {
         "dataset": dataset_name,
         "model": args.model,

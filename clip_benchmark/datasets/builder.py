@@ -165,7 +165,11 @@ def build_dataset(
     if dataset_name.startswith("wds/"):
         name = dataset_name[len("wds/") :]
         root = root.format(dataset=name.replace("/", "-"), dataset_cleaned=name.replace("/", "-")) if "{" in root else root
-        if task == "zeroshot_retrieval":
+        if task in ("zeroshot_retrieval", "captioning", "image_caption_selection"):
+            # caption-bearing samples (image, [captions]) — the reference's
+            # builder routes every caption-consuming task through the
+            # retrieval-style wds reader (ref builder.py wds branch); the
+            # classification reader's int labels would crash ptb_tokenize
             return WdsRetrievalDataset(root, split=split, transform=transform)
         return WdsClassificationDataset(root, split=split, transform=transform)
 

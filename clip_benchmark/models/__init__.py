@@ -180,12 +180,29 @@ def _load_bcos_captioner(
 
 
 def _load_standard_clip(model_name: str, pretrained: str):
+    import re
+    import warnings
+
+    from bcosification_tpu.clip.load import available_models
     from bcosification_tpu.clip.load import load as clip_load
     from bcosification_tpu.clip.tokenizer import tokenize
 
-    visual, visual_vars, text_model, text_vars, _, cfg = clip_load(
-        model_name if model_name in ("RN50", "RN101") else "RN50"
-    )
+    # resolve benchmark-style names ("ViT-B-32") to OpenAI tower names
+    # ("ViT-B/32"); clip.load supports the full RN + ViT families, so only
+    # genuinely unknown names fall back to RN50 — and loudly, never the old
+    # silent remap that attributed RN50 numbers to ViT rows (r5 review)
+    name = model_name
+    if name not in available_models():
+        alt = re.sub(r"^(ViT-[A-Za-z]+)-(\d+.*)$", r"\1/\2", name)
+        if alt in available_models():
+            name = alt
+        else:
+            warnings.warn(
+                f"standard_clip: unknown model {model_name!r}; "
+                f"falling back to RN50 (available: {available_models()})"
+            )
+            name = "RN50"
+    visual, visual_vars, text_model, text_vars, _, cfg = clip_load(name)
 
     def encode_image(images):
         return visual.apply(visual_vars, images, train=False)

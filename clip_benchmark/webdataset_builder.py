@@ -72,6 +72,9 @@ def build_webdataset(
 
 
 def main():
+    from bcosification_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()  # BCOS_PLATFORM={cpu,tpu,auto} honoured (CLAUDE.md)
     parser = argparse.ArgumentParser()
     parser.add_argument("--dataset", required=True, help="dummy | cifar10 | imagenet1k")
     parser.add_argument("--split", default="test")

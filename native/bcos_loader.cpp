@@ -296,7 +296,13 @@ class Loader {
     bool ok = decode_jpeg(s.path, &rgb, &w, &h);
     const int S = out_size_;
     if (!ok || w < 1 || h < 1) {
-      std::memset(dst, 0, size_t(S) * S * channels_out_ * sizeof(float));
+      // NEVER zero-fill: B-cos/LN layers have inf sqrt-VJP partials on
+      // exact-zero rows and a zero cotangent does not save you (0*inf=NaN
+      // — the repo-wide dead-slot rule). Mid-gray is harmless: with
+      // AddInverse (6ch) both halves read 0.5, a valid "image".
+      const float kNeutral = 0.5f;
+      float* end = dst + size_t(S) * S * channels_out_;
+      for (float* p = dst; p != end; ++p) *p = kNeutral;
       return;
     }
     transform_rgb(rgb.data(), w, h, out_size_, resize_size_, channels_out_,
@@ -379,7 +385,7 @@ extern "C" {
 // fresh checkout gives every file the same mtime, so `make` alone cannot
 // detect staleness (this exact failure shipped a pre-reorder-buffer binary
 // in round 2 — eval batches came out of submission order).
-int bcos_loader_abi_version() { return 5; }
+int bcos_loader_abi_version() { return 6; }
 
 void* bcos_loader_create(const char** paths, const int32_t* labels, int n,
                          int out_size, int resize_size, int batch, int threads,

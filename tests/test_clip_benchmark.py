@@ -112,6 +112,34 @@ def test_cli_parses_reference_args(monkeypatch):
     assert args.model_type == "bcos_clip"
 
 
+def test_cli_dispatches_image_caption_selection(tmp_path, monkeypatch):
+    """End-to-end cli run of the sugar_crepe-style task (r5 review: the
+    parser accepted it and the metric existed but run() had no branch, so
+    the auto-default task for CAPTION_DATASETS raised NotImplementedError)."""
+    from clip_benchmark import cli
+
+    out = tmp_path / "ics.json"
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "cli.py", "eval", "--dataset", "dummy_retrieval",
+            "--model_type", "standard_clip", "--model", "RN50",
+            "--pretrained", "none", "--task", "image_caption_selection",
+            "--batch_size", "8", "--output", str(out),
+        ],
+    )
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # random-init teacher warning
+        cli.main()
+    rec = json.load(open(out))
+    assert rec["task"] == "image_caption_selection"
+    assert set(rec["metrics"]) >= {"acc", "text_acc", "image_acc"}
+    assert 0.0 <= rec["metrics"]["acc"] <= 1.0
+
+
 def test_build_csv(tmp_path):
     from clip_benchmark import cli
 

@@ -190,6 +190,29 @@ def test_blackbox_explainers_run(rng):
         assert np.isfinite(np.asarray(atts)).all()
 
 
+def test_rise_masks_reference_semantics():
+    """RISE masks follow the reference construction (ref rise.py:40-54):
+    bilinear-smoothed cells of period ceil(H/s) — NOT 2x — with full-image
+    grid coverage (r5 review: kron with doubled blocks left half the grid
+    off-image and phase-locked the offsets)."""
+    from bcosification_tpu.interpretability.explanation_methods.explainers import Rise
+
+    r = Rise(model=None, variables=None, n_masks=64, cell_size=7, seed=0)
+    masks = r._masks(224, 224)
+    assert masks.shape == (64, 224, 224)
+    assert masks.min() >= 0.0 and masks.max() <= 1.0
+    # bilinear upsample -> intermediate values between cells, not a 0/1 kron
+    frac = np.mean((masks > 0.05) & (masks < 0.95))
+    assert frac > 0.1, f"masks look blocky (frac intermediate {frac})"
+    # cell period ~= ceil(224/7)=32: a mask's autocovariance along x must
+    # decay by half within one cell, impossible with 64-px blocks
+    m = masks[0] - masks[0].mean()
+    ac = [float(np.mean(m[:, :-d] * m[:, d:])) for d in (1, 32)]
+    assert ac[1] < 0.5 * ac[0], ac
+    # every grid cell influences the image: per-mask coverage mean ~= p
+    assert abs(float(masks.mean()) - 0.5) < 0.1
+
+
 def test_bcos_ours_completeness_on_grid(rng, tmp_path):
     """Ours on a real bias-free B-cos net: localisation metric well above the
     1/n chance level for class-separable inputs."""

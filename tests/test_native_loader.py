@@ -118,6 +118,31 @@ def test_batched_loader(jpeg_dir):
 
 
 @needs_native
+def test_corrupt_jpeg_fills_neutral_not_zero(jpeg_dir, tmp_path):
+    """A failed decode must NOT produce an exact-zero sample: B-cos/LN
+    layers have inf sqrt-VJP partials on zero rows (0*inf=NaN, the repo's
+    dead-slot rule) — one corrupt ImageNet JPEG would NaN the whole batch
+    gradient. The loader fills mid-gray (0.5 in all 6 AddInverse channels,
+    a consistent 'image') instead (r5 review)."""
+    paths, labels = jpeg_dir
+    bad = tmp_path / "corrupt.jpg"
+    bad.write_bytes(b"\xff\xd8\xff\xe0 definitely not a jpeg")
+    loader = NativeImageLoader(
+        [str(bad)] + paths[:3], [9, *labels[:3]], out_size=16, resize_size=20,
+        batch_size=4, num_threads=2, mode="eval",
+    )
+    (batch,) = list(loader)
+    # eval order preserved: sample 0 is the corrupt one
+    np.testing.assert_array_equal(batch["image"][0], 0.5)
+    # AddInverse consistency holds for the filler too: x + (1-x) == 1
+    np.testing.assert_allclose(
+        batch["image"][..., :3] + batch["image"][..., 3:], 1.0, atol=1e-6
+    )
+    assert np.isfinite(batch["image"]).all()
+    assert float(np.abs(batch["image"][1]).max()) > 0.5  # real samples intact
+
+
+@needs_native
 def test_train_mode_shuffles_and_runs(jpeg_dir):
     paths, labels = jpeg_dir
     loader = NativeImageLoader(
