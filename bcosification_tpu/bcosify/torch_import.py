@@ -24,6 +24,7 @@ __all__ = [
     "resnet_torch_to_variables",
     "densenet_torch_to_variables",
     "simple_vit_torch_to_variables",
+    "variables_from_npz",
     "FlatParams",
 ]
 
@@ -33,6 +34,21 @@ FlatParams = Dict[Tuple[str, ...], np.ndarray]
 def _np(x) -> np.ndarray:
     arr = np.asarray(x.detach().cpu() if hasattr(x, "detach") else x)
     return arr.astype(np.float32) if arr.dtype == np.float64 else arr
+
+
+def variables_from_npz(path, variables):
+    """Load a strip_checkpoints/export npz ({'a/b/c': array} keys) into the
+    shape of ``variables``. The single npz->variables path shared by
+    models/pretrained._load_weights_npz and evaluate.py --weights (r5
+    review: the two copies had already drifted on allow_pickle)."""
+    import jax
+
+    loaded = dict(np.load(path))  # plain arrays only: never allow_pickle
+    flat = {tuple(k.split("/")): v for k, v in loaded.items()}
+    abstract = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), variables
+    )
+    return fill_variables(abstract, flat)
 
 
 def fill_variables(abstract_variables, flat: FlatParams, strict: bool = True):

@@ -366,6 +366,13 @@ class SigLipLoss:
     features are per-location (HW, N, D): spatial logits are cosine-power
     weighted and mean-pooled over locations. It participates in explanation
     mode (the loss is a DetachableModule in the reference) via ``explain``.
+
+    DOCUMENTED DEVIATION: the reference's ring hops call ``_loss`` with the
+    default ``cos_scaling=0`` even when the local term uses a power (ref
+    losses.py:656-694) — its hop path would simply crash on (HW, N, D)
+    features. Here ``cos_scaling`` is threaded into every hop so the
+    distributed loss equals the global-matrix loss for attn-unpool models
+    (the property tests/test_losses.py locks for the pooled case).
     """
 
     bidir: bool = True

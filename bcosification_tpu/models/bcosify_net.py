@@ -4,7 +4,15 @@ Parity target: `/root/reference/bcosify.py:22-53`.
 
 Adds (1) the 0th-layer channel-wise Normalize over the 6 AddInverse channels
 (IMAGENET / CLIP / zero-mean variants, bcosify.py:15-43), and (2) an optional
-LogitLayer with bias -log(N-1) (bcosify.py:29-31). The module-tree rewrite part
+LogitLayer with bias -log(N-1) (bcosify.py:29-31).
+
+DOCUMENTED DEVIATION: the reference hardcodes ``-math.log(1000 - 1)``
+regardless of the model's class count (bcosify.py:31); this wrapper uses
+``-log(num_classes - 1)`` — identical for every 1000-class ImageNet model
+(all release checkpoints and all exactness oracles), and the uniform-prior
+log-odds the constant was *meant* to be for other class counts. Pass
+``logit_bias=-math.log(999)`` to reproduce the reference bit-for-bit on a
+non-1000-class model. The module-tree rewrite part
 of the reference's BcosifyNetwork (Conv2d->BcosifyConv2d etc., bcosify.py:55-
 114) is architecture re-parameterisation + a pure parameter transform here —
 see `bcosification_tpu.bcosify`.

@@ -224,6 +224,11 @@ def _load_weights_npz(name: str, variables, model_kwargs: Optional[Dict] = None)
         else " Export trained checkpoints with scripts/strip_checkpoints.py."
     )
     root = os.getenv("BCOS_WEIGHTS_DIR")
+    if not root and os.getenv("BCOS_ALLOW_DOWNLOAD", "0") == "1":
+        # fetch gate is ON: default the weights cache (like clip/load's
+        # teacher cache) instead of returning random init with a warning
+        # telling the user to set the gate they have already set (r5 review)
+        root = str(Path.home() / ".cache" / "bcosification_tpu" / "weights")
     if not root:
         warnings.warn(
             f"BCOS_WEIGHTS_DIR not set: '{name}' returns random init.{hint}"
@@ -236,14 +241,9 @@ def _load_weights_npz(name: str, variables, model_kwargs: Optional[Dict] = None)
             return fetched
         warnings.warn(f"No weights at {path}; random init.{hint}")
         return variables
-    from bcosification_tpu.bcosify.torch_import import fill_variables
+    from bcosification_tpu.bcosify.torch_import import variables_from_npz
 
-    loaded = dict(np.load(path))
-    flat = {tuple(k.split("/")): v for k, v in loaded.items()}
-    abstract = jax.tree_util.tree_map(
-        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), variables
-    )
-    return fill_variables(abstract, flat)
+    return variables_from_npz(path, variables)
 
 
 def load_model(name: str, pretrained: bool = True, **kwargs):

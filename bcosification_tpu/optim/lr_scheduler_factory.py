@@ -37,6 +37,11 @@ class LRSchedulerFactory:
         if self.name.lower() == "cosineannealinglr":
             assert self.epochs and self.epochs > 0
         assert self.warmup_steps is None or self.warmup_epochs is None
+        # ref lr_scheduler_factory.py:53-55 — with interval='epoch' a
+        # warmup_steps value would be silently ignored (r5 review)
+        assert self.interval == "step" or self.warmup_steps is None, (
+            "For warmup_steps, interval must be 'step'"
+        )
 
     def create(self, base_lr: float, steps_per_epoch: int) -> Callable:
         """Return schedule(step) -> lr. ``steps_per_epoch`` converts between

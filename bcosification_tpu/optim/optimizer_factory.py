@@ -94,7 +94,12 @@ class OptimizerFactory:
         (b_opt=True) — the reference's two-optimizer split."""
         lr = learning_rate if learning_rate is not None else self.args["lr"]
         tx = self._base_tx(lr)
-        if self.args.get("bcosify", None) is not None and params is not None:
+        # note: no `params is not None` gate — b_param_labels is a callable
+        # label fn that never needs the params tree, and skipping the mask
+        # for a params-less caller would double-update the learnable 'b'
+        # leaves (main optimizer + b SGD — the exact failure
+        # tests/test_b_schedule_parity.py locks; r5 review)
+        if self.args.get("bcosify", None) is not None:
             # The reference's two-optimizer split hands each optimizer a
             # DISJOINT parameter list (bcosify_trainer.py:98: SGD over only
             # the .b params; the main optimizer never sees them), so each

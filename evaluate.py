@@ -53,14 +53,9 @@ def load_model_and_config(args):
     experiment = Experiment(args.dataset, args.base_network, args.experiment_name)
     if args.weights:
         model, variables = experiment.get_model()
-        loaded = dict(np.load(args.weights, allow_pickle=True))
-        from bcosification_tpu.bcosify.torch_import import fill_variables
+        from bcosification_tpu.bcosify.torch_import import variables_from_npz
 
-        abstract = jax.tree_util.tree_map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), variables
-        )
-        flat = {tuple(k.split("/")): v for k, v in loaded.items()}
-        variables = fill_variables(abstract, flat)
+        variables = variables_from_npz(args.weights, variables)
     elif args.reload == "fresh":
         # fresh bcosification from the pretrained checkpoint (evaluate.py:133-168)
         model, variables = experiment.get_model()

@@ -51,14 +51,23 @@ def initialize_distributed(argv=None, _initialize=None):
     kwargs = {}
     env_contract = {k: os.environ.get(k) for k in ("MASTER_ADDR", "WORLD_SIZE", "RANK")}
     if all(env_contract.values()):
-        kwargs = dict(
-            coordinator_address=(
-                f"{env_contract['MASTER_ADDR']}:"
-                f"{os.environ.get('MASTER_PORT', '29500')}"
-            ),
-            num_processes=int(env_contract["WORLD_SIZE"]),
-            process_id=int(env_contract["RANK"]),
-        )
+        try:
+            kwargs = dict(
+                coordinator_address=(
+                    f"{env_contract['MASTER_ADDR']}:"
+                    f"{os.environ.get('MASTER_PORT', '29500')}"
+                ),
+                num_processes=int(env_contract["WORLD_SIZE"]),
+                process_id=int(env_contract["RANK"]),
+            )
+        except ValueError as e:
+            # malformed numbers must reach the same warn-or-fallback path as
+            # an init failure, not crash before --single-host-ok applies
+            print(
+                f"malformed WORLD_SIZE/RANK env contract ({e}); "
+                "falling back to auto-detection"
+            )
+            kwargs = {}
     elif any(env_contract.values()):
         # partially-set contract (e.g. stale MASTER_ADDR from another
         # launcher): fall back to auto-detection rather than crashing on the

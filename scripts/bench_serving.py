@@ -138,7 +138,12 @@ def main():
     # drift): explain ~31 ms/iter -> 24; fwd ~10 ms -> 72; mixed in between
     per_explain = slope(bench.make_bench_fn(net, 0), variables, x, 2, 24)
     per_fwd = slope(make_fwd_fn(net), variables, x, 2, 72)
-    per_mixed = slope(make_mixed_fn(net, every), variables, x, 2, 60)
+    # the mixed window must span an integer number of explain periods: both
+    # endpoints are multiples of `every`, so the differenced window holds
+    # exactly (n_big-n_small)/every explains (r5 review: the old (2, 60)
+    # window held 5 explains per 58 iters — an 8.6% mix labeled as 10%,
+    # overstating r_mixed by ~2.4%)
+    per_mixed = slope(make_mixed_fn(net, every), variables, x, every, 7 * every)
 
     r_explain = bench.BATCH / per_explain
     r_fwd = bench.BATCH / per_fwd

@@ -31,6 +31,10 @@ def main(argv=None):
     p.add_argument("--out", required=True)
     args = p.parse_args(argv)
 
+    from bcosification_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()  # BCOS_PLATFORM={cpu,tpu,auto} honoured (CLAUDE.md)
+
     if args.base_directory:
         os.environ["BCOS_EXPERIMENT_ROOT"] = args.base_directory
 
