@@ -1029,7 +1029,7 @@ class Trainer:
                 # configured cosine power, like the reference's
                 # clip_evaluate reading config['model']['cos_power']
                 # (ref trainer.py:117-121)
-                zcfg = self.config.get("model", {})
+                zcfg = (getattr(self, "config", None) or {}).get("model", {})
                 acc = zs_lib.zeroshot_evaluate(
                     encode, dm.test_dataloader(), w,
                     cos_power=(
