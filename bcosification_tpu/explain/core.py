@@ -193,15 +193,19 @@ def make_explain_fn(
         def apply_fn(variables, xx):
             return model.apply(variables, xx, train=False, explain=True)
 
-        _EXPLAIN_CACHE[key] = _jitted_explain(
+        jitted = _jitted_explain(
             apply_fn, smooth, alpha_percentile, with_image,
             fast_model=model if use_fast else None,
         )
+        _EXPLAIN_CACHE[key] = jitted
+        # capture `jitted` BEFORE eviction: with BCOS_EXPLAIN_CACHE_SIZE=0
+        # ("no caching") the loop would evict the just-inserted entry and a
+        # later lookup would KeyError (r5 review)
         while len(_EXPLAIN_CACHE) > _EXPLAIN_CACHE_SIZE:
             _EXPLAIN_CACHE.popitem(last=False)
     else:
         _EXPLAIN_CACHE.move_to_end(key)
-    jitted = _EXPLAIN_CACHE[key]
+        jitted = _EXPLAIN_CACHE[key]
 
     def explain_fn(variables, x, idx: Optional[int] = None):
         idx_arr = None if idx is None else jnp.asarray(idx)

@@ -217,7 +217,7 @@ def _multiproc_main(n_procs: int):
     run the documented recovery protocol — kill the straggler (done by
     subprocess.run), then loop a tiny-program probe until the chip answers —
     and RESUME sampling. Only if recovery itself exhausts its budget
-    (BENCH_RECOVERY_BUDGET, default 900 s) and no child ever succeeded do we
+    (BENCH_RECOVERY_BUDGET, default 1500 s) and no child ever succeeded do we
     exit non-zero. Serial execution respects one-TPU-client-at-a-time.
 
     Adaptive fast-mode sampling: throughput is bimodal across process
@@ -323,8 +323,12 @@ def _multiproc_main(n_procs: int):
                     break  # captured the fast mode, stop extending
 
     if not results:
-        if recovery_failed:
-            print("# bench: no surviving child and chip recovery failed; "
+        if recovery_failed or recoveries:
+            # a timeout happened this session — even if the probe recovered,
+            # the chip already wedged once, and the post-wedge first client
+            # can be 23x degraded or wedge again (docs/PERF.md). Never run
+            # the UNTIMED in-process fallback after any wedge (r5 review).
+            print("# bench: no surviving child after a chip timeout; "
                   "refusing the untimed in-process fallback", file=sys.stderr)
             sys.exit(1)
         # children failed fast for a non-TPU reason (e.g. subprocess denied):

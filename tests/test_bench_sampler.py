@@ -225,3 +225,30 @@ def test_fast_failures_fall_back_in_process(monkeypatch):
     monkeypatch.setattr(bench, "main", lambda: ran_main.__setitem__("v", True))
     bench._multiproc_main(2)
     assert ran_main["v"], "non-timeout child failures should fall back safely"
+
+
+def test_no_untimed_fallback_after_any_wedge(monkeypatch, capsys):
+    """If a chip timeout happened this session — even one the probe
+    recovered from — and no child produced a sample, exit non-zero instead
+    of running the UNTIMED in-process fallback against a chip that already
+    wedged once (r5 review; the post-wedge first client can be 23x degraded
+    or wedge again)."""
+    bench = _load_bench(monkeypatch)
+    monkeypatch.setenv("BENCH_RECOVERY_BUDGET", "30")
+    calls = {"children": 0}
+
+    def fake_run(argv, **k):
+        if _is_probe(argv):
+            return _Out(stdout="8.0\n")  # recovery probe succeeds
+        calls["children"] += 1
+        if calls["children"] == 1:
+            raise subprocess.TimeoutExpired(cmd="bench", timeout=1)
+        return _Out(rc=1)  # every later child crashes (degraded client)
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    ran_main = {"v": False}
+    monkeypatch.setattr(bench, "main", lambda: ran_main.__setitem__("v", True))
+    with pytest.raises(SystemExit) as e:
+        bench._multiproc_main(3)
+    assert e.value.code == 1
+    assert not ran_main["v"], "untimed fallback ran after a chip wedge"

@@ -169,6 +169,14 @@ def test_explain_cache_bounded(monkeypatch):
     assert live_ids == {id(nets[1][0]), id(nets[2][0])}
     explain_core._EXPLAIN_CACHE.clear()
 
+    # size 0 = "no caching" must still return a working fn, not KeyError
+    # (r5 review: the eviction loop used to pop the just-inserted entry
+    # before the lookup)
+    monkeypatch.setattr(explain_core, "_EXPLAIN_CACHE_SIZE", 0)
+    fn = explain_core.make_explain_fn(nets[0][0], with_image=False)
+    assert callable(fn)
+    assert len(explain_core._EXPLAIN_CACHE) == 0
+
 
 def test_fast_explain_bf16_tolerance():
     """The TPU bench runs this path in bf16; check the scale reconstruction
