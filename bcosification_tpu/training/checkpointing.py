@@ -70,8 +70,14 @@ class CheckpointManager:
         return {"epochs": {}}
 
     def _save_index(self, index):
-        with open(self._index_path, "w") as f:
+        # atomic: the preemption path saves while the platform is about to
+        # hard-kill the process — a SIGKILL mid-json.dump must never leave a
+        # truncated index.json that makes every future resume crash
+        # (r5 review)
+        tmp = self._index_path.with_name(f"{self._index_path.name}.{os.getpid()}.tmp")
+        with open(tmp, "w") as f:
             json.dump(index, f, indent=1)
+        os.replace(tmp, self._index_path)
 
     # -- save ---------------------------------------------------------------------
     def save(self, state, epoch: int, metrics: Optional[Dict[str, float]] = None):
@@ -92,8 +98,7 @@ class CheckpointManager:
                 "metrics": {k: float(v) for k, v in (metrics or {}).items()},
             }
             index["last"] = epoch
-            self._save_index(index)
-            self._prune(index)
+            self._prune(index)  # prunes AND persists the index (one write)
         if jax.process_count() > 1:
             # barrier: without it a non-writing rank can run ahead into a
             # subsequent restore("last") while process 0 is still writing,
@@ -112,20 +117,25 @@ class CheckpointManager:
         epochs = index["epochs"]
         keep = {index.get("last")}
         for mon in (self.monitor, f"{self.monitor}_ema"):
-            scored = [
-                (self._score(e, mon), int(ep))
-                for ep, e in epochs.items()
-                if self._score(e, mon) is not None
-            ]
+            scored = []
+            for ep, e in epochs.items():
+                score = self._score(e, mon)
+                if score is not None:
+                    scored.append((score, int(ep)))
             scored.sort(reverse=True)
             keep.update(ep for _, ep in scored[: self.top_k])
-        for ep in list(epochs):
-            if int(ep) not in keep:
-                p = self.ckpt_dir / f"epoch_{ep}"
-                if p.exists():
-                    shutil.rmtree(p)
-                del epochs[ep]
+        doomed = [ep for ep in list(epochs) if int(ep) not in keep]
+        for ep in doomed:
+            del epochs[ep]
+        # persist the index BEFORE deleting directories: a crash between the
+        # two must leave dangling DIRECTORIES (harmless, re-pruned later),
+        # never dangling index ENTRIES whose restore would FileNotFoundError
+        # (r5 review)
         self._save_index(index)
+        for ep in doomed:
+            p = self.ckpt_dir / f"epoch_{ep}"
+            if p.exists():
+                shutil.rmtree(p)
 
     # -- load ---------------------------------------------------------------------
     def available_checkpoints(self) -> List[int]:
@@ -165,6 +175,7 @@ class CheckpointManager:
     def restore(self, state_template, reload: str = "last"):
         """Restore into the shape of state_template. Returns (state, epoch) or
         (None, None) if no checkpoint exists."""
+        assert self._checkpointer is not None, "orbax not available"
         epoch = self.resolve(reload)
         if epoch is None:
             return None, None

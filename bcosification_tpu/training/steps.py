@@ -15,16 +15,13 @@ directly; the `b_loss`/`clamping` variants train them with the auxiliary SGD.
 """
 from __future__ import annotations
 
-import dataclasses
 import math
-from functools import partial
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
-from flax.core import FrozenDict
 
 from bcosification_tpu.optim.optimizer_factory import b_param_labels, is_b_param
 from bcosification_tpu.training import agc as agc_lib
@@ -160,6 +157,11 @@ def make_train_step(
       trainer.py:929-930); our ops cast weights to the activation dtype and
       keep fp32 islands for norms/accumulation.
     """
+    if use_agc and gradient_clip_val:
+        raise ValueError(
+            "use_agc and gradient_clip_val are mutually exclusive: AGC would "
+            "silently replace the configured global-norm clip (r5 review)"
+        )
 
     def loss_fn(params, batch_stats, batch):
         image = batch["image"]

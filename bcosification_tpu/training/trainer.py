@@ -995,9 +995,25 @@ class Trainer:
                 specs.append(("ImageNet", registry["ImageNet"]))
             variables = host_variables
 
+            # jit once per trainer with variables as an ARGUMENT: a fresh
+            # closure per epoch would recompile the full tower every epoch
+            # (zeroshot.py r5 review)
+            zs_jit = getattr(self, "_zs_encode_jit", None)
+            if zs_jit is None:
+                zs_jit = jax.jit(
+                    lambda v, images: model.apply(
+                        v,
+                        jnp.concatenate([images, 1.0 - images], axis=-1),
+                        train=False,
+                    )
+                )
+                try:
+                    self._zs_encode_jit = zs_jit
+                except AttributeError:  # unbound test-call pattern
+                    pass
+
             def encode(images):
-                x6 = jnp.concatenate([images, 1.0 - images], axis=-1)
-                return model.apply(variables, x6, train=False)
+                return zs_jit(variables, images)
 
             for name, cls in specs:
                 dm = cls(

@@ -110,6 +110,15 @@ def zeroshot_predict_logits(
     return logits
 
 
+# module-level jit: stable cache across the per-epoch KD zeroshot callback.
+# A per-call `@jax.jit def step(...)` closure re-traced and recompiled the
+# FULL image tower every epoch (plus once more for a ragged last batch) —
+# minutes of serial compilation per epoch on a 1-core host (r5 review). The
+# tower itself is compiled by the caller's jitted ``image_encode``; this
+# only compiles the tiny normalise+matmul head, once per (shape, power).
+_jit_predict = jax.jit(zeroshot_predict_logits, static_argnums=2)
+
+
 def zeroshot_evaluate(
     image_encode: Callable[[jnp.ndarray], jnp.ndarray],
     loader: Iterable,
@@ -117,18 +126,17 @@ def zeroshot_evaluate(
     cos_power: int = 0,
 ) -> Dict[str, float]:
     """top-1/5 zeroshot accuracy over a loader of {'image','label'} batches
-    (trainer.py:104-132)."""
-
-    @jax.jit
-    def step(images):
-        feats = image_encode(images)
-        return zeroshot_predict_logits(feats, zeroshot_weights, cos_power)
-
+    (trainer.py:104-132). Jit ``image_encode`` (with variables as an
+    ARGUMENT, not a closure) for the tower compile to be reused across
+    epochs."""
     top1 = top5 = n = 0
     for batch in loader:
         images = jnp.asarray(batch["image"])
         target = np.asarray(batch["label"])
-        logits = np.asarray(step(images))
+        if target.ndim > 1:  # dense/one-hot labels (same guard as steps.py)
+            target = np.argmax(target, axis=-1)
+        feats = image_encode(images)
+        logits = np.asarray(_jit_predict(feats, zeroshot_weights, cos_power))
         pred5 = np.argsort(-logits, axis=-1)[:, :5]
         top1 += int((pred5[:, 0] == target).sum())
         top5 += int((pred5 == target[:, None]).any(axis=1).sum())

@@ -157,6 +157,29 @@ def test_checkpoint_manager_roundtrip(tmp_path, tiny_setup):
     l1 = jax.tree_util.tree_leaves(restored.params)
     assert all(np.isfinite(np.asarray(x)).all() for x in l1)
 
+    # crash-consistency invariants (r5 review): the index write is atomic
+    # (no orphaned temp files), and every indexed epoch's directory exists —
+    # _prune persists the index BEFORE rmtree so a crash can only leave
+    # dangling DIRECTORIES, never dangling index entries
+    import json as _json
+    from pathlib import Path as _Path
+
+    ckpt_dir = _Path(str(tmp_path)) / "checkpoints"
+    assert not list(ckpt_dir.rglob("*.tmp"))
+    index = _json.loads((ckpt_dir / "index.json").read_text())
+    for ep in index["epochs"]:
+        assert (ckpt_dir / f"epoch_{ep}").exists(), ep
+
+
+def test_agc_and_clip_val_conflict_raises(tiny_setup):
+    model, variables, x = tiny_setup
+    tx = optax.adam(1e-3)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        steps_lib.make_train_step(
+            model, lambda out, y: out.sum(), tx,
+            use_agc=True, gradient_clip_val=1.0,
+        )
+
 
 def test_b_schedule_overwrites_b(rng):
     from bcosification_tpu.modules import BcosifyConv2d
