@@ -103,10 +103,14 @@ class Experiment:
         return self._ckpt_manager().available_checkpoints()
 
     def load_trained_model(
-        self, reload: str = "last", ema: bool = False, verbose: bool = True
+        self, reload: str = "last", ema: bool = False, verbose: bool = True,
+        strict_ema: bool = False,
     ):
         """-> (model, variables) with trained weights. ``ema`` selects the EMA
-        weights from the train state (loading_utils.py:80-100 prefix logic)."""
+        weights from the train state (loading_utils.py:80-100 prefix logic);
+        when the state carries no EMA the plain weights are returned like the
+        reference's fallback — pass ``strict_ema=True`` to raise instead
+        (release tooling must not mislabel plain weights as EMA)."""
         from bcosification_tpu.training.trainer import build_train_state_template
 
         model, variables = self.get_model()
@@ -119,6 +123,11 @@ class Experiment:
             )
         if verbose:
             print(f"Loaded epoch {epoch} from {self.save_dir} (ema={ema})")
+        if ema and strict_ema and state.ema_params is None:
+            raise ValueError(
+                f"EMA weights requested but the checkpoint at {self.save_dir} "
+                "carries no EMA state (trained without ema_decay)"
+            )
         params = state.ema_params if (ema and state.ema_params is not None) else state.params
         bs = (
             state.ema_batch_stats

@@ -236,6 +236,26 @@ def _load_weights_npz(name: str, variables, model_kwargs: Optional[Dict] = None)
         return variables
     path = Path(root) / f"{name}.npz"
     if not path.exists():
+        # sha-stamped exports — <name>-<sha8>.npz, what
+        # scripts/{import_torch_checkpoint,strip_checkpoints}.py write by
+        # default — must resolve too (r5 review: the tools' default output
+        # was invisible to this lookup, silently yielding random init)
+        import re
+
+        stamped = [
+            p
+            for p in Path(root).glob(f"{name}-*.npz")
+            if re.fullmatch(rf"{re.escape(name)}-[0-9a-f]{{8,64}}\.npz", p.name)
+        ]
+        if stamped:
+            if len(stamped) > 1:
+                stamped.sort(key=lambda p: p.stat().st_mtime)
+                warnings.warn(
+                    f"multiple sha-stamped weights for {name!r}; "
+                    f"using newest: {stamped[-1].name}"
+                )
+            path = stamped[-1]
+    if not path.exists():
         fetched = _maybe_fetch_npz(name, path, model_kwargs or {})
         if fetched is not None:
             return fetched

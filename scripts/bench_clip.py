@@ -63,7 +63,9 @@ def main():
 
         return jax.lax.fori_loop(0, n, body, (jnp.float32(0), x))[0]
 
-    def slope(fn, n_small=2, n_big=10):
+    # window >= ~0.7 s (CLAUDE.md short-window drift): the fwd leg runs
+    # ~13 ms/iter -> 60 iters ~ 0.8 s; explain ~35 ms -> 24 ~ 0.85 s
+    def slope(fn, n_small=2, n_big=60):
         float(fn(variables, x, t, n_small))
         float(fn(variables, x, t, n_big))
         best = None
@@ -89,10 +91,10 @@ def main():
 
     tf = slope(fwd_loop)
     print(f"CLIP image-tower forward (B={B}): {tf*1e3:.2f} ms = {B/tf:.0f} img/s/chip")
-    te = slope(explain_loop)
+    te = slope(explain_loop, n_big=24)
     print(f"CLIP text-grounded fwd+explain (B={B}): {te*1e3:.2f} ms = {B/te:.0f} img/s/chip")
     if fast_clip.supports(student):
-        tfast = slope(fast_explain_loop)
+        tfast = slope(fast_explain_loop, n_big=24)
         print(
             f"CLIP text-grounded fwd+explain FAST (B={B}): {tfast*1e3:.2f} ms = "
             f"{B/tfast:.0f} img/s/chip"

@@ -72,7 +72,9 @@ def main():
         )
 
     float(loop(state, batch, 2))
-    n_small, n_big = 2, 10
+    # window >= ~0.7 s (CLAUDE.md short-window drift): the train step
+    # runs ~62 ms/iter -> 14 iters ~ 0.87 s
+    n_small, n_big = 2, 14
     float(loop(state, batch, n_big))
     best = None
     for _ in range(3):

@@ -30,23 +30,52 @@ from pathlib import Path
 import numpy as np
 
 
-def load_torch_state_dict(path: str) -> dict:
-    """.pth -> flat {name: np.ndarray}, PL prefixes stripped."""
+def load_torch_state_dict(path: str, use_ema: bool = False) -> dict:
+    """.pth -> flat {name: np.ndarray}, ONE weight set selected by prefix.
+
+    A PL checkpoint can hold BOTH model.* and ema.module.* sets; the
+    reference's strip_checkpoints.py selects exactly one by prefix filter
+    (`if key.startswith(prefix)`). Merging them (the old behavior) let dict
+    iteration order decide which copy won (r5 review). ``use_ema`` picks the
+    EMA set; nested wrappers (ema.module.model.*) are stripped fully."""
     import torch
+    import warnings
 
     obj = torch.load(path, map_location="cpu", weights_only=False)
     if hasattr(obj, "state_dict"):
         obj = obj.state_dict()
     if isinstance(obj, dict) and "state_dict" in obj:
         obj = obj["state_dict"]
-    out = {}
-    for k, v in obj.items():
-        for prefix in ("model.", "ema.module."):
-            if k.startswith(prefix):
-                k = k[len(prefix):]
-                break
-        out[k] = v
-    return out
+
+    def strip_wrappers(k: str) -> str:
+        changed = True
+        while changed:
+            changed = False
+            for p in ("model.", "module."):
+                if k.startswith(p):
+                    k = k[len(p):]
+                    changed = True
+        return k
+
+    want = "ema.module." if use_ema else "model."
+    other = "model." if use_ema else "ema.module."
+    keys = list(obj)
+    if any(k.startswith(want) for k in keys):
+        return {
+            strip_wrappers(k[len(want):]): v
+            for k, v in obj.items()
+            if k.startswith(want)
+        }
+    if any(k.startswith(other) for k in keys):
+        warnings.warn(
+            f"checkpoint has no {want}* keys; using the {other}* weight set"
+        )
+        return {
+            strip_wrappers(k[len(other):]): v
+            for k, v in obj.items()
+            if k.startswith(other)
+        }
+    return {strip_wrappers(k): v for k, v in obj.items()}
 
 
 def convert(state_dict, dataset, base_network, experiment_name):
@@ -108,9 +137,15 @@ def main():
                         help="registry name for the npz (default: experiment_name)")
     parser.add_argument("--output_dir", default="weights")
     parser.add_argument("--no-sha", action="store_true")
+    parser.add_argument("--ema", action="store_true",
+                        help="export the ema.module.* weight set")
     args = parser.parse_args()
 
-    sd = load_torch_state_dict(args.checkpoint)
+    from bcosification_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()  # BCOS_PLATFORM={cpu,tpu,auto} honoured (CLAUDE.md)
+
+    sd = load_torch_state_dict(args.checkpoint, use_ema=args.ema)
     model, variables = convert(
         sd, args.dataset, args.base_network, args.experiment_name
     )

@@ -42,8 +42,16 @@ def main(argv=None):
 
     if args.clip_weights:
         os.environ["CLIP_WEIGHTS_PATH"] = args.clip_weights
-    if not (args.clip_weights or settings.CLIP_WEIGHTS_PATH):
-        ap.error("--clip-weights or CLIP_WEIGHTS_PATH required")
+    # resolve through ALL of clip.load's sources (CLIP_WEIGHTS_PATH/DIR, the
+    # local download cache, the BCOS_ALLOW_DOWNLOAD fetch) — the old guard
+    # rejected valid configs that only set CLIP_WEIGHTS_DIR or the gate
+    # (r5 review). A random-init text tower would produce garbage weights.
+    if clip_load.load_state_dict_file("RN50") is None:
+        ap.error(
+            "no CLIP RN50 weights found: set --clip-weights / "
+            "CLIP_WEIGHTS_PATH / CLIP_WEIGHTS_DIR, or BCOS_ALLOW_DOWNLOAD=1 "
+            "on an egress-capable host"
+        )
     _, _, text_model, text_vars, _, _ = clip_load.load("RN50", pretrained=True)
     w = zs_lib.zeroshot_classifier(
         text_model,

@@ -5,24 +5,18 @@ Parity target: `/root/reference/scripts/strip_checkpoints.py:50-87` (PL ckpt ->
 bare state_dict with 'model.'/'ema.module.' prefix stripping and a sha256
 filename suffix). Here: orbax train-state -> flat npz of
 {'params/...','batch_stats/...'} arrays, optionally the EMA weights.
+
+Output resolves via the registry either way: models/pretrained.py looks up
+<name>.npz AND the sha-stamped <name>-<sha8>.npz form (pass --no-sha for the
+bare filename).
 """
 from __future__ import annotations
 
 import argparse
-import hashlib
+import sys
 from pathlib import Path
 
-import numpy as np
-
-import jax
-
-
-def flatten_variables(variables) -> dict:
-    flat = {}
-    for path, leaf in jax.tree_util.tree_flatten_with_path(variables)[0]:
-        key = "/".join(p.key if hasattr(p, "key") else str(p) for p in path)
-        flat[key] = np.asarray(leaf)
-    return flat
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
 
 
 def main():
@@ -32,25 +26,33 @@ def main():
     parser.add_argument("--experiment_name", required=True)
     parser.add_argument("--reload", default="best_any")
     parser.add_argument("--ema", action="store_true", help="export EMA weights")
+    parser.add_argument("--no-sha", action="store_true")
     parser.add_argument("--output_dir", default="weights")
     args = parser.parse_args()
 
+    from bcosification_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()  # BCOS_PLATFORM={cpu,tpu,auto} honoured (CLAUDE.md)
+
     from bcosification_tpu.experiments.utils import Experiment
+    # one shared flatten/sha-stamped-npz writer (import_torch_checkpoint.py)
+    from scripts.import_torch_checkpoint import write_npz
 
     experiment = Experiment(args.dataset, args.base_network, args.experiment_name)
-    model, variables = experiment.load_trained_model(args.reload, ema=args.ema)
+    # strict_ema: --ema on a checkpoint trained without EMA must fail, not
+    # silently export plain weights under an _ema-labelled release filename
+    model, variables = experiment.load_trained_model(
+        args.reload, ema=args.ema, strict_ema=True
+    )
 
-    flat = flatten_variables(variables)
-    out_dir = Path(args.output_dir)
-    out_dir.mkdir(parents=True, exist_ok=True)
-    # np.savez appends '.npz' to names that lack it -> tmp must end in .npz
-    tmp = out_dir / f"{args.experiment_name}.tmp.npz"
-    np.savez(tmp, **flat)
-    sha = hashlib.sha256(tmp.read_bytes()).hexdigest()[:8]
     suffix = "_ema" if args.ema else ""
-    final = out_dir / f"{args.experiment_name}{suffix}-{sha}.npz"
-    tmp.rename(final)
-    print(f"wrote {final} ({len(flat)} arrays)")
+    final = write_npz(
+        variables,
+        Path(args.output_dir),
+        f"{args.experiment_name}{suffix}",
+        sha_suffix=not args.no_sha,
+    )
+    print(f"wrote {final}")
 
 
 if __name__ == "__main__":

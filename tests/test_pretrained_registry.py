@@ -57,6 +57,62 @@ def test_npz_roundtrip(tmp_path, monkeypatch):
     )
 
 
+def test_npz_sha_stamped_resolves(tmp_path, monkeypatch):
+    """The import/strip tools' DEFAULT output is <name>-<sha8>.npz; the
+    registry lookup must find it (r5 review: it only checked the bare
+    <name>.npz, silently returning random init for tool-produced files)."""
+    from flax import linen as nn
+
+    from bcosification_tpu.models import pretrained
+    from scripts.import_torch_checkpoint import write_npz
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, *, train=False, explain=False):
+            return nn.Dense(4, name="d")(x.reshape((x.shape[0], -1)))
+
+    model = Tiny()
+    variables = model.init(jax.random.PRNGKey(3), jnp.ones((1, 2, 2, 6)))
+    path = write_npz(variables, tmp_path, "tiny_sha", sha_suffix=True)
+    assert path.name.startswith("tiny_sha-") and path.name.endswith(".npz")
+
+    monkeypatch.setitem(pretrained._REGISTRY, "tiny_sha",
+                        lambda: (model, model.init(jax.random.PRNGKey(9),
+                                                   jnp.ones((1, 2, 2, 6)))))
+    monkeypatch.setenv("BCOS_WEIGHTS_DIR", str(tmp_path))
+    _, restored = pretrained.load_model("tiny_sha", pretrained=True)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        restored, variables,
+    )
+
+
+def test_import_prefix_selection_never_merges(tmp_path):
+    """A PL checkpoint holding BOTH model.* and ema.module.* sets: exactly
+    one is selected by prefix (the reference's strip_checkpoints filter),
+    never a dict-order-dependent merge (r5 review); nested wrappers strip
+    fully."""
+    torch = pytest.importorskip("torch")
+    from scripts.import_torch_checkpoint import load_torch_state_dict
+
+    ckpt = tmp_path / "both.pth"
+    torch.save(
+        {
+            "state_dict": {
+                "model.fc.weight": torch.ones(2, 2),
+                "ema.module.model.fc.weight": torch.zeros(2, 2),
+            }
+        },
+        ckpt,
+    )
+    plain = load_torch_state_dict(str(ckpt))
+    assert set(plain) == {"fc.weight"}
+    assert float(np.asarray(plain["fc.weight"]).sum()) == 4.0  # model.* set
+    ema = load_torch_state_dict(str(ckpt), use_ema=True)
+    assert set(ema) == {"fc.weight"}  # ema.module.model. fully stripped
+    assert float(np.asarray(ema["fc.weight"]).sum()) == 0.0  # ema set
+
+
 def test_import_torch_checkpoint_tool(tmp_path, rng):
     """.pth (PL-prefixed) -> convert through the bcosify recipe -> npz whose
     arrays equal a direct conversion from the same state dict."""
